@@ -1,0 +1,165 @@
+"""Golden-artifact and oracle tests for the grid/cluster stages."""
+
+import os
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+from opticalflowclustering_tpu.cluster import (
+    kmeans,
+    match_signature,
+    sliding_cosine_similarity,
+)
+from opticalflowclustering_tpu.features import (
+    GridParams,
+    dominant_hue_k1,
+    extract_cells,
+    grid_mean_hue,
+    preprocess_cells_rgba,
+    whiten_grid_lines,
+)
+
+REF = "/root/reference/k-means-color-clustering"
+RNG = np.random.default_rng(3)
+
+
+def _load_cells(frame_dir: str) -> np.ndarray:
+    cells = [
+        cv2.imread(os.path.join(frame_dir, f"{i}.png")) for i in range(1, 351)
+    ]
+    return np.stack(cells)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_golden_outcsv_dominant_hue():
+    """The cluster stage reproduces OutCSV/601_bad_bounce_3.csv bit-exactly
+    from the committed grid-cell PNGs (frames 2..5 → rows 0..3)."""
+    golden = pd.read_csv(f"{REF}/OutCSV/601_bad_bounce_3.csv")
+    frames = [2, 3, 4, 5]
+    cells = np.stack(
+        [_load_cells(f"{REF}/OutImgs/601_bad_bounce_3/{f}") for f in frames]
+    )  # [4, 350, 51, 51, 3] BGR
+    rgba = preprocess_cells_rgba(cells, rb_swap=True)
+    _, hue = dominant_hue_k1(rgba)
+    got = np.asarray(hue)
+    want = golden.iloc[: len(frames)].values.astype(np.int64)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_dominant_hue_no_swap_matches_inmemory_semantics():
+    """rb_swap=False must equal a direct numpy emulation of the current
+    KmeanGrids in-memory path (no BGR2RGB flip)."""
+    cells = _load_cells(f"{REF}/OutImgs/601_bad_bounce_3/10")[:32]
+    rgba = preprocess_cells_rgba(cells, rb_swap=False)
+    _, hue = dominant_hue_k1(rgba)
+    for i, img in enumerate(cells):
+        img = img.copy()
+        img[img < 30] = 0
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        _, alpha = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY)
+        flat = cv2.merge(list(cv2.split(img)) + [alpha], 4).reshape(-1, 4)
+        cen = np.rint(flat.astype(np.float64).mean(axis=0))
+        px = np.array([[[cen[0], cen[1], cen[2]]]], dtype=np.uint8)
+        want = cv2.cvtColor(px, cv2.COLOR_BGR2HSV)[0, 0, 0]
+        assert int(np.asarray(hue)[i]) == int(want), f"cell {i}"
+
+
+def _reference_grid_mean_oracle(frame_bgr: np.ndarray, rows: int, cols: int):
+    """Literal numpy/cv2 emulation of overlayGridAndComputeAvgColor's mean
+    path (`drawGridsAndOutputCSV.py:75-106`): in-place rectangle draws
+    between cell means."""
+    f = frame_bgr.copy()
+    h, w = f.shape[:2]
+    ys, xs = h // rows, w // cols
+    hues = []
+    for y in range(rows):
+        for x in range(cols):
+            x1, y1 = x * xs, y * ys
+            x2, y2 = min(x1 + xs, w), min(y1 + ys, h)
+            roi = f[y1:y2, x1:x2]
+            mean = np.mean(roi, axis=(0, 1)).astype(np.uint8)
+            hsv = cv2.cvtColor(np.array([[mean]]), cv2.COLOR_BGR2HSV)[0, 0]
+            hues.append(float(hsv[0]))
+            cv2.rectangle(f, (x1, y1), (x2, y2), (255, 255, 255), 1)
+    return np.array(hues, dtype=np.float32)
+
+
+def test_grid_mean_hue_matches_reference_semantics():
+    frame = RNG.integers(0, 256, size=(140, 250, 3), dtype=np.uint8)
+    grid = GridParams(rows=14, cols=25)
+    want = _reference_grid_mean_oracle(frame, 14, 25)
+    got = np.asarray(grid_mean_hue(frame, grid))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_mean_hue_10x10():
+    frame = RNG.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+    grid = GridParams(rows=10, cols=10)
+    want = _reference_grid_mean_oracle(frame, 10, 10)
+    got = np.asarray(grid_mean_hue(frame, grid))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_cells_layout():
+    frame = RNG.integers(0, 256, size=(2, 28, 50, 3), dtype=np.uint8)
+    grid = GridParams(rows=2, cols=2)
+    cells = np.asarray(extract_cells(frame, grid))
+    assert cells.shape == (2, 4, 14, 25, 3)
+    np.testing.assert_array_equal(cells[1, 2], frame[1, 14:28, 0:25])
+
+
+def test_whiten_own_rectangle():
+    cells = np.zeros((1, 4, 5, 6, 3), np.uint8)
+    out = np.asarray(whiten_grid_lines(cells, GridParams(2, 2), own_rectangle=True))
+    assert (out[..., 0, :, :] == 255).all() and (out[..., :, 0, :] == 255).all()
+    assert (out[..., 1:, 1:, :] == 0).all()
+
+
+def test_kmeans_matches_sklearn_quality():
+    from sklearn.cluster import KMeans
+
+    pts = np.concatenate(
+        [
+            RNG.normal((0, 0, 0, 0), 1, size=(200, 4)),
+            RNG.normal((10, 0, 5, 0), 1, size=(150, 4)),
+            RNG.normal((0, 12, 0, 3), 1, size=(120, 4)),
+        ]
+    ).astype(np.float32)
+    sk = KMeans(n_clusters=3, n_init=10, random_state=0).fit(pts)
+    import jax
+
+    centers, labels = kmeans(pts, 3, jax.random.PRNGKey(0))
+    def inertia(c, l):
+        return float(((pts - np.asarray(c)[np.asarray(l)]) ** 2).sum())
+    assert inertia(centers, labels) <= sk.inertia_ * 1.05
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_matcher_reproduces_reference_cli():
+    """findCosineDifferentVectors.py semantics on the real labeled CSVs."""
+    sig = pd.read_csv(f"{REF}/bounce.csv", header=None).iloc[:, 1].values
+    ser = pd.read_csv(f"{REF}/601_3_3_cropped.csv", header=None).iloc[:, 1].values
+
+    # literal reference loop as oracle
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0 if na == 0 or nb == 0 else float(np.dot(a, b) / (na * nb))
+
+    max_sim, max_frame = -1.0, -1
+    for i in range(len(ser) - len(sig) + 1):
+        s = cos(sig.astype(float), ser[i : i + len(sig)].astype(float))
+        max_sim = max(max_sim, s)
+        if s == max_sim:
+            max_frame = i
+
+    got_sim, got_frame = match_signature(
+        np.asarray(sig, np.float32), np.asarray(ser, np.float32)
+    )
+    assert abs(float(got_sim) - max_sim) < 1e-5
+    assert int(got_frame) == max_frame
+    sims = np.asarray(sliding_cosine_similarity(
+        np.asarray(sig, np.float32), np.asarray(ser, np.float32)))
+    assert sims.shape[0] == len(ser) - len(sig) + 1
