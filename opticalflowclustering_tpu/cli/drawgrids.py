@@ -1,0 +1,80 @@
+"""Grid-overlay CLI, mirroring `drawGridsAndOutputCSV[Change].py`:
+`--path video` → `<video>_rgb_values.csv` (per-frame grid-mean hues over the
+inline flow render), `<video>_output.mp4` (flow frames with grid overlay),
+and optionally the OutImgs cell dump (`--dump-cells`). `--tenbyten` selects
+the 10×10 grid of the non-Change variant (`drawGridsAndOutputCSV.py:168`)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--path", required=True)
+    ap.add_argument("--noyolo", action="store_false")
+    ap.add_argument("--nocontour", action="store_false")
+    ap.add_argument("--tenbyten", action="store_true")
+    ap.add_argument("--dump-cells", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from opticalflowclustering_tpu.compat.writers import write_rgb_values_csv
+    from opticalflowclustering_tpu.features.grid import GridParams
+    from opticalflowclustering_tpu.io.video import (
+        read_video_bgr,
+        video_fps,
+        write_video_mjpg,
+    )
+    from opticalflowclustering_tpu.pipeline.bounce import (
+        PipelineConfig,
+        process_frames,
+    )
+
+    grid = GridParams(10, 10) if args.tenbyten else GridParams(14, 25)
+    cfg = PipelineConfig(grid=grid)
+    frames = read_video_bgr(args.path, args.max_frames)
+    out = process_frames(frames, cfg)
+
+    write_rgb_values_csv(args.path + "_rgb_values.csv", out["rgb_hue_table"])
+
+    # Overlay the grid lines on the flow render for the output video.
+    flow_bgr = out["flow_bgr"].copy()
+    h, w = flow_bgr.shape[1:3]
+    ys, xs = grid.steps(h, w)
+    for r in range(grid.rows + 1):
+        y = min(r * ys, h - 1)
+        flow_bgr[:, y, : grid.cols * xs] = 255
+    for c in range(grid.cols + 1):
+        x = min(c * xs, w - 1)
+        flow_bgr[:, : grid.rows * ys, x] = 255
+    write_video_mjpg(args.path + "_output.mp4", flow_bgr, video_fps(args.path))
+
+    if args.dump_cells:
+        import cv2
+
+        from opticalflowclustering_tpu.features.grid import (
+            extract_cells,
+            whiten_grid_lines,
+        )
+
+        name = os.path.basename(args.path).split(".")[0]
+        cells = np.asarray(
+            whiten_grid_lines(
+                extract_cells(out["flow_bgr"], grid), grid, own_rectangle=True
+            )
+        )
+        for f in range(cells.shape[0]):
+            d = f"OutImgs/{name}/{f + 2}"
+            os.makedirs(d, exist_ok=True)
+            for c in range(cells.shape[1]):
+                cv2.imwrite(f"{d}/{c + 1}.png", cells[f, c])
+
+    print(f"{args.path}_rgb_values.csv:", out["rgb_hue_table"].shape)
+
+
+if __name__ == "__main__":
+    main()

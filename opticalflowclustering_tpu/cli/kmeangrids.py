@@ -1,0 +1,95 @@
+"""Fused flow→grid→cluster CLI, mirroring
+`k-means-color-clustering/KmeanGrids.py` (usage `KmeanGrids.py:406`):
+
+  -d OutImgs/<video> -c 1 -f addnew.csv --noyolo --nocontour --path <video>
+
+Phase 1+2 fuse on device; outputs `OutCSV/<video>.csv` (hue table) and
+appends per-cell rows to the -f CSV in the addnew.csv format. When --path
+is missing/undecodable but -d points at an existing OutImgs cell tree, the
+cluster phase runs directly from the committed cells (the reference's
+phase-2-only behavior) — this is also how golden parity is checked without
+the LFS-stubbed mp4s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_arguments(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-d", "--dir", required=True, help="Path to the image")
+    ap.add_argument("-c", "--clusters", required=True, type=int)
+    ap.add_argument("-f", "--csv", required=True, type=str)
+    ap.add_argument("--noyolo", action="store_false")
+    ap.add_argument("--nocontour", action="store_false")
+    ap.add_argument("--path", required=True, help="Path to the input video")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--no-rb-swap",
+        action="store_true",
+        help="use the in-memory channel order instead of the golden-artifact "
+        "disk-roundtrip order (SURVEY.md §2.5 #5)",
+    )
+    return vars(ap.parse_args(argv))
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    rb_swap = not args["no_rb_swap"]
+
+    from opticalflowclustering_tpu.compat.writers import (
+        append_cluster_centers_rows,
+        write_hue_table_csv,
+    )
+    from opticalflowclustering_tpu.features.dominant_color import (
+        dominant_hue_k1,
+        preprocess_cells_rgba,
+    )
+
+    video_name = os.path.basename(args["dir"].rstrip("/\\"))
+
+    if os.path.isfile(args["path"]) and os.path.getsize(args["path"]) > 4096:
+        from opticalflowclustering_tpu.pipeline.bounce import (
+            PipelineConfig,
+            process_frames,
+        )
+        from opticalflowclustering_tpu.io.video import read_video_bgr
+
+        frames = read_video_bgr(args["path"], args["max_frames"])
+        out = process_frames(frames, PipelineConfig(rb_swap=rb_swap))
+        hue_table = out["hue_table"]
+        centroids = None
+    else:
+        # Phase-2-only: cluster the existing OutImgs cell tree.
+        from opticalflowclustering_tpu.io.images import read_cell_tree
+
+        cells = read_cell_tree(args["dir"], args["max_frames"])
+        rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
+        centroids, hue = dominant_hue_k1(rgba)
+        hue_table = np.asarray(hue)
+
+    os.makedirs("OutCSV", exist_ok=True)
+    write_hue_table_csv(f"OutCSV/{video_name}.csv", hue_table)
+    print(f"OutCSV/{video_name}.csv: {hue_table.shape[0]} frames x "
+          f"{hue_table.shape[1]} cells")
+
+    if centroids is not None:
+        names = [
+            f"{f}/{c + 1}.png"
+            for f in range(2, 2 + hue_table.shape[0])
+            for c in range(hue_table.shape[1])
+        ]
+        append_cluster_centers_rows(
+            args["csv"],
+            names=names,
+            centroids=np.asarray(centroids).reshape(-1, 4),
+            hues=np.asarray(hue_table).reshape(-1),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,9 +139,15 @@ def hsv2bgr(hsv: jnp.ndarray) -> jnp.ndarray:
     sector = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, 5)
     f = h - sector.astype(f32)
 
-    tab = jnp.stack(
-        [v, v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))], axis=-1
-    )
-    idx = jnp.asarray(_SECTOR_DATA)[sector]  # [..., 3]
-    bgr = jnp.take_along_axis(tab, idx, axis=-1)
+    tab = (v, v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f)))
+    # Sector-table lookup as elementwise selects (a gather here tiles
+    # catastrophically on TPU — 42× padding); 6 sectors × 3 channels of
+    # jnp.where fuse into one VPU pass.
+    channels = []
+    for ch in range(3):
+        val = tab[_SECTOR_DATA[0][ch]]
+        for sec in range(1, 6):
+            val = jnp.where(sector == sec, tab[_SECTOR_DATA[sec][ch]], val)
+        channels.append(val)
+    bgr = jnp.stack(channels, axis=-1)
     return jnp.clip(jnp.round(bgr * f32(255.0)), 0, 255).astype(jnp.uint8)

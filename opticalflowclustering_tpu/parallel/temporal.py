@@ -1,0 +1,111 @@
+"""Temporal (frame-axis) sharding of the flow pipeline.
+
+Optical flow couples only adjacent frames (t-1, t) — the reference carries
+one `prev_gray` frame of state (`computeOpticalFlowModule.py:34`). Sharding
+a video's N frames into contiguous blocks across chips therefore needs a
+single-frame halo: each chip ships its *first* grayscale frame to its left
+neighbor over ICI (`jax.lax.ppermute`), computes its local frame pairs, and
+every later stage (render, grid pooling, clustering) is purely local. This
+is the sequence-parallel analogue for this workload (SURVEY.md §5
+'long-context').
+
+The ring wraps, so the last chip produces one junk pair (its last frame
+against frame 0); callers drop the final row — `sharded_hue_pipeline`
+returns [N, cells] of which the first N-1 rows are valid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from opticalflowclustering_tpu.features.dominant_color import (
+    dominant_hue_k1,
+    preprocess_cells_rgba,
+)
+from opticalflowclustering_tpu.features.grid import (
+    GridParams,
+    extract_cells,
+    grid_mean_hue,
+    whiten_grid_lines,
+)
+from opticalflowclustering_tpu.flow.farneback import FarnebackParams, farneback_flow
+from opticalflowclustering_tpu.flow.render import render_flow_hsv_bgr
+from opticalflowclustering_tpu.ops.colorspace import bgr2gray
+from opticalflowclustering_tpu.ops.polar import magnitude
+
+
+def _halo_pairs(gray_local: jnp.ndarray, axis_name: str):
+    """[n_loc, H, W] local frames → (prev, next) [n_loc, H, W] pairs using a
+    1-frame halo from the right neighbor (ring ppermute over ICI)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    first = gray_local[:1]
+    # send my first frame to my LEFT neighbor (i → i-1)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    recv = jax.lax.ppermute(first, axis_name, perm)
+    gray_ext = jnp.concatenate([gray_local, recv], axis=0)
+    return gray_ext[:-1], gray_ext[1:]
+
+
+def temporal_shard_flow(
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    params: FarnebackParams = FarnebackParams(),
+) -> jnp.ndarray:
+    """Flow over a frame-sharded video: [N,H,W,3]u8 → [N,H,W,2] (row N-1 is
+    the wrapped junk pair; drop it). N must divide by the axis size."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    def step(frames_local):
+        gray = bgr2gray(frames_local)
+        prev, nxt = _halo_pairs(gray, axis_name)
+        return jax.vmap(lambda p, n: farneback_flow(p, n, params))(prev, nxt)
+
+    return step(frames)
+
+
+def sharded_hue_pipeline(
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    grid: GridParams = GridParams(),
+    params: FarnebackParams = FarnebackParams(),
+    rb_swap: bool = True,
+):
+    """Full flow→render→grid→cluster pipeline with the frame axis sharded
+    across `axis_name`. Returns (hue_table [N, cells], rgb_hue [N, cells],
+    mean_mag [N]); the last row of each is the wrapped junk pair — valid
+    data is [:N-1]. All stages after the single halo exchange are local to
+    each chip; no other communication occurs.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+    )
+    def step(frames_local):
+        gray = bgr2gray(frames_local)
+        prev, nxt = _halo_pairs(gray, axis_name)
+        flow = jax.vmap(lambda p, n: farneback_flow(p, n, params))(prev, nxt)
+        mag = magnitude(flow[..., 0], flow[..., 1])
+        mean_mag = jnp.mean(mag, axis=(-2, -1))
+        flow_bgr = render_flow_hsv_bgr(flow)
+        cells = extract_cells(flow_bgr, grid)
+        cells = whiten_grid_lines(cells, grid, own_rectangle=True)
+        rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
+        _, hue = dominant_hue_k1(rgba)
+        rgb_hue = grid_mean_hue(flow_bgr, grid)
+        return hue, rgb_hue, mean_mag
+
+    return step(frames)

@@ -1,0 +1,145 @@
+"""The fused end-to-end bounce pipeline.
+
+One jitted program replaces the reference's three host hot loops
+(SURVEY.md §3.1: per-frame flow, 350-cell grid slicing, 350 KMeans calls):
+
+  frames [N,H,W,3]u8 ──► gray ──► Farneback flow (N-1 pairs, batched)
+    ──► HSV render (per-frame min-max) ──► grid cells + white-line overlay
+    ──► RGBA preprocess ──► exact k=1 dominant hue      → OutCSV table
+    ──► per-cell mean hue                               → rgb_values table
+    ──► per-frame mean |flow|                           → telemetry CSV
+
+Everything between decode and the CSV emit stays HBM-resident. Frame pairs
+are independent, so long videos stream through in fixed-size chunks (the
+chunk is the jit unit; one compile serves any video length).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflowclustering_tpu.cluster.matcher import match_signature
+from opticalflowclustering_tpu.features.dominant_color import (
+    dominant_hue_k1,
+    preprocess_cells_rgba,
+)
+from opticalflowclustering_tpu.features.grid import (
+    GridParams,
+    extract_cells,
+    grid_mean_hue,
+    whiten_grid_lines,
+)
+from opticalflowclustering_tpu.flow.farneback import (
+    FarnebackParams,
+    farneback_flow,
+)
+from opticalflowclustering_tpu.flow.render import render_flow_hsv_bgr
+from opticalflowclustering_tpu.ops.colorspace import bgr2gray
+from opticalflowclustering_tpu.ops.polar import magnitude
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    grid: GridParams = GridParams()
+    flow: FarnebackParams = FarnebackParams()
+    # Reproduce the R/B-swapped disk-roundtrip path that generated the
+    # golden OutCSV artifacts (SURVEY.md §2.5 #5).
+    rb_swap: bool = True
+    # Frame pairs per jitted chunk (memory/throughput trade-off).
+    chunk: int = 16
+
+
+def chunk_step(frames_chunk, cfg: PipelineConfig):
+    """Process one chunk of C+1 BGR frames → features for C pairs.
+    Pure/jittable; `_chunk_step` is its jitted form.
+
+    The whole steady-state loop is deliberately ONE jitted program (gray
+    conversion included): some TPU runtimes (including the tunneled dev
+    chip) reload the executable when multiple programs alternate, which
+    costs seconds per dispatch.
+    """
+    gray = bgr2gray(frames_chunk)
+    prev_gray, next_gray = gray[:-1], gray[1:]
+    flow = jax.vmap(lambda p, n: farneback_flow(p, n, cfg.flow))(
+        prev_gray, next_gray
+    )
+    mag = magnitude(flow[..., 0], flow[..., 1])
+    mean_mag = jnp.mean(mag, axis=(-2, -1))
+    flow_bgr = render_flow_hsv_bgr(flow)
+
+    cells = extract_cells(flow_bgr, cfg.grid)
+    cells_own = whiten_grid_lines(cells, cfg.grid, own_rectangle=True)
+    rgba = preprocess_cells_rgba(cells_own, rb_swap=cfg.rb_swap)
+    _, hue = dominant_hue_k1(rgba)
+
+    rgb_hue = grid_mean_hue(flow_bgr, cfg.grid)
+    return {
+        "flow_bgr": flow_bgr,
+        "hue_table": hue,
+        "rgb_hue_table": rgb_hue,
+        "mean_magnitude": mean_mag,
+    }
+
+
+_chunk_step = functools.partial(jax.jit, static_argnames=("cfg",))(chunk_step)
+
+
+def process_frames(
+    frames_bgr: np.ndarray, cfg: PipelineConfig = PipelineConfig()
+) -> dict[str, np.ndarray]:
+    """Full pipeline over decoded [N,H,W,3] uint8 BGR frames.
+
+    Returns per-pair arrays (N-1 rows): flow_bgr render, OutCSV hue table,
+    rgb_values hue table, mean flow magnitude. Streams in cfg.chunk-pair
+    chunks so arbitrary-length videos reuse one compiled program.
+    """
+    frames_bgr = np.asarray(frames_bgr)
+    n = frames_bgr.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 frames")
+
+    outs: list[dict[str, np.ndarray]] = []
+    c = cfg.chunk
+    for start in range(0, n - 1, c):
+        stop = min(start + c, n - 1)
+        chunk = frames_bgr[start : stop + 1]  # C+1 frames → C pairs
+        pad = (c + 1) - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        out = _chunk_step(chunk, cfg)
+        out = {k: np.asarray(v)[: stop - start] for k, v in out.items()}
+        outs.append(out)
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def process_video_file(
+    path: str, cfg: PipelineConfig = PipelineConfig(), max_frames=None
+) -> dict[str, np.ndarray]:
+    from opticalflowclustering_tpu.io.video import read_video_bgr
+
+    return process_frames(read_video_bgr(path, max_frames), cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("rb_swap",))
+def dominant_hue_series(frames_bgr: jnp.ndarray, rb_swap: bool = True):
+    """Whole-frame dominant hue per frame — the `color_kmeans.py` unit
+    workload batched over a directory of crops (each frame = one "cell").
+    [N,H,W,3]u8 → (centroids [N,4] int32, hues [N] uint8)."""
+    return dominant_hue_k1(preprocess_cells_rgba(frames_bgr, rb_swap=rb_swap))
+
+
+def classify_bounce(
+    signature_hue: np.ndarray, series_hue: np.ndarray
+) -> tuple[float, int]:
+    """Sliding-window bounce match (`findCosineDifferentVectors.py:52-66`):
+    returns (max cosine similarity, frame index, last tie wins)."""
+    sim, frame = match_signature(
+        jnp.asarray(signature_hue, jnp.float32),
+        jnp.asarray(series_hue, jnp.float32),
+    )
+    return float(sim), int(frame)

@@ -8,7 +8,10 @@ SURVEY.md §4. Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the host environment may pre-set JAX_PLATFORMS to a TPU plugin
+# (e.g. 'axon'); tests must be deterministic and run the virtual 8-device
+# mesh, and subprocess CLIs must inherit a working backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,15 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The host image may install a TPU-tunnel PJRT plugin via a sitecustomize
+# hook (PYTHONPATH=/root/.axon_site) that force-sets jax_platforms to the
+# plugin at interpreter start, ignoring the env var. Override it back after
+# import — config is re-read at first backend initialization. Subprocess CLI
+# tests replace PYTHONPATH with the repo root, which also drops the hook.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -1,0 +1,235 @@
+"""End-to-end pipeline and CLI tests, including golden OutCSV parity."""
+
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = "/root/reference/k-means-color-clustering"
+RNG = np.random.default_rng(5)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _synth_frames(n=6, h=140, w=250, seed=0):
+    """Moving textured blob over textured background."""
+    rng = np.random.default_rng(seed)
+    bg = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bg = cv2.GaussianBlur(bg, (0, 0), 3)
+    frames = []
+    for i in range(n):
+        f = bg.copy()
+        cx, cy = 40 + 12 * i, 60 + 5 * i
+        cv2.circle(f, (cx, cy), 18, (40, 200, 220), -1)
+        frames.append(f)
+    return np.stack(frames)
+
+
+def _write_video(path, frames, fps=30.0):
+    h, w = frames.shape[1:3]
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    for f in frames:
+        out.write(f)
+    out.release()
+
+
+def test_render_matches_reference_formula():
+    """render_flow_hsv replicates ComputeOpticalFLow.compute's HSV build
+    (`computeOpticalFlowModule.py:24-33`) for a given flow field."""
+    from opticalflowclustering_tpu.flow.render import render_flow_hsv
+
+    flow = RNG.normal(0, 2, size=(60, 80, 2)).astype(np.float32)
+    mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+    mask = np.zeros((60, 80, 3), np.uint8)
+    mask[..., 0] = ang * 180 / np.pi / 2
+    mask[..., 1] = 255
+    mask[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    got = np.asarray(render_flow_hsv(flow))
+    # fastAtan2 float32 rounding can flip a hue bin on exact bin edges.
+    assert (got[..., 0].astype(int) - mask[..., 0].astype(int) == 0).mean() > 0.999
+    np.testing.assert_array_equal(got[..., 1], mask[..., 1])
+    assert np.abs(got[..., 2].astype(int) - mask[..., 2].astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_kmeangrids_cli_phase2_golden(tmp_path):
+    """The kmeangrids CLI on the reference's OutImgs tree reproduces the
+    committed OutCSV/601_bad_bounce_3.csv (the mp4 is an LFS stub, so the
+    CLI takes the phase-2-only path exactly like a reference re-run would)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "opticalflowclustering_tpu.cli.kmeangrids",
+            "-d",
+            f"{REF}/OutImgs/601_bad_bounce_3",
+            "-c",
+            "1",
+            "-f",
+            "addnew_test.csv",
+            "--noyolo",
+            "--nocontour",
+            "--path",
+            f"{REF}/601_bad_bounce_3.mp4",
+            "--max-frames",
+            "18",
+        ],
+        cwd=tmp_path,
+        env=env,
+        check=True,
+        capture_output=True,
+    )
+    got = pd.read_csv(tmp_path / "OutCSV" / "601_bad_bounce_3.csv")
+    want = pd.read_csv(f"{REF}/OutCSV/601_bad_bounce_3.csv")
+    np.testing.assert_array_equal(got.values[:18], want.values[:18])
+    assert list(got.columns) == list(want.columns)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_findcosine_cli_matches_reference(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "opticalflowclustering_tpu.cli.findcosine",
+            f"{REF}/bounce.csv",
+            f"{REF}/601_3_3_cropped.csv",
+        ],
+        env=env,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    # Oracle: literal reference computation.
+    sig = pd.read_csv(f"{REF}/bounce.csv", header=None).iloc[:, 1].values.astype(float)
+    ser = pd.read_csv(f"{REF}/601_3_3_cropped.csv", header=None).iloc[:, 1].values.astype(float)
+    best, frame = -1.0, -1
+    for i in range(len(ser) - len(sig) + 1):
+        w = ser[i : i + len(sig)]
+        s = 0.0 if not w.any() else float(np.dot(sig, w) / (np.linalg.norm(sig) * np.linalg.norm(w)))
+        best = max(best, s)
+        if s == best:
+            frame = i
+    lines = r.stdout.strip().splitlines()
+    got_sim = float(lines[1].split(":")[1])
+    got_frame = int(lines[3].split(":")[1])
+    assert abs(got_sim - best) < 1e-5
+    assert got_frame == frame
+
+
+def test_full_pipeline_vs_cv2_oracle(tmp_path):
+    """Whole pipeline (flow→render→grid→cluster) against a literal cv2/numpy
+    emulation of the reference on a synthetic clip. Rendered-value rounding
+    (cv2-IPP vs scalar HSV2BGR, ±1) makes bit-exactness across the whole
+    chain impossible vs modern cv2, so require near-total agreement."""
+    from opticalflowclustering_tpu.pipeline.bounce import (
+        PipelineConfig,
+        process_frames,
+    )
+
+    frames = _synth_frames(n=5)
+    out = process_frames(frames, PipelineConfig(chunk=3))
+    assert out["hue_table"].shape == (4, 350)
+    assert out["rgb_hue_table"].shape == (4, 350)
+
+    # oracle
+    prevg = cv2.cvtColor(frames[0], cv2.COLOR_BGR2GRAY)
+    oracle_rows = []
+    for i in range(1, len(frames)):
+        g = cv2.cvtColor(frames[i], cv2.COLOR_BGR2GRAY)
+        flow = cv2.calcOpticalFlowFarneback(prevg, g, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+        mask = np.zeros_like(frames[i])
+        mask[..., 0] = ang * 180 / np.pi / 2
+        mask[..., 1] = 255
+        mask[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+        bgr = cv2.cvtColor(mask, cv2.COLOR_HSV2BGR)
+        prevg = g
+        h, w = bgr.shape[:2]
+        ys, xs = h // 14, w // 25
+        hues = []
+        for r in range(14):
+            for c in range(25):
+                roi = bgr[r * ys : (r + 1) * ys, c * xs : (c + 1) * xs].copy()
+                roi[0, :] = 255
+                roi[:, 0] = 255
+                rgb = cv2.cvtColor(roi, cv2.COLOR_BGR2RGB)
+                rgb[rgb < 30] = 0
+                gray = cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY)
+                _, alpha = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY)
+                flat = np.dstack([rgb, alpha]).reshape(-1, 4).astype(np.float64)
+                cen = np.rint(flat.mean(0))
+                px = np.array([[[cen[0], cen[1], cen[2]]]], np.uint8)
+                hues.append(cv2.cvtColor(px, cv2.COLOR_BGR2HSV)[0, 0, 0])
+        oracle_rows.append(hues)
+    oracle = np.array(oracle_rows)
+    agree = (out["hue_table"].astype(int) == oracle.astype(int)).mean()
+    assert agree > 0.97, f"agreement {agree}"
+
+
+def test_computeopticalflow_cli(tmp_path):
+    frames = _synth_frames(n=5)
+    vid = str(tmp_path / "clip.mp4")
+    _write_video(vid, frames)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "opticalflowclustering_tpu.cli.computeopticalflow",
+            "-i",
+            vid,
+        ],
+        cwd=tmp_path,
+        env=env,
+        check=True,
+        capture_output=True,
+    )
+    assert os.path.exists(vid + "onlyOpticalflow.mp4")
+    df = pd.read_csv(vid + "_opticalFlow.csv", index_col=0)
+    assert list(df.columns) == ["Frame", "Average Magnitude"]
+    # magnitudes match a direct cv2 run on the same decoded frames
+    dec = []
+    cap = cv2.VideoCapture(vid)
+    while True:
+        ret, f = cap.read()
+        if not ret:
+            break
+        dec.append(f)
+    cap.release()
+    prevg = cv2.cvtColor(dec[0], cv2.COLOR_BGR2GRAY)
+    for i in range(1, len(dec)):
+        g = cv2.cvtColor(dec[i], cv2.COLOR_BGR2GRAY)
+        flow = cv2.calcOpticalFlowFarneback(prevg, g, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        mag, _ = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+        assert abs(df["Average Magnitude"].iloc[i - 1] - mag.mean()) < 1e-4
+        prevg = g
+
+
+def test_drawgrids_cli(tmp_path):
+    frames = _synth_frames(n=4, h=100, w=100)
+    vid = str(tmp_path / "clip.mp4")
+    _write_video(vid, frames)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "opticalflowclustering_tpu.cli.drawgrids",
+            "--path",
+            vid,
+            "--tenbyten",
+        ],
+        cwd=tmp_path,
+        env=env,
+        check=True,
+        capture_output=True,
+    )
+    df = pd.read_csv(vid + "_rgb_values.csv")
+    assert df.shape == (3, 100)
+    assert os.path.exists(vid + "_output.mp4")
