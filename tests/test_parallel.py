@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4: results must be bitwise-invariant to the mesh shape.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from opticalflowclustering_tpu.features.grid import GridParams
+from opticalflowclustering_tpu.parallel.mesh import make_mesh
+from opticalflowclustering_tpu.parallel.temporal import (
+    sharded_hue_pipeline,
+    temporal_shard_flow,
+)
+from opticalflowclustering_tpu.pipeline.bounce import PipelineConfig, process_frames
+
+RNG = np.random.default_rng(21)
+# Small enough that the Farneback pyramid truncates to one level — the
+# sharding semantics under test are identical, and CPU compiles stay fast.
+FRAMES = RNG.integers(0, 256, size=(16, 40, 64, 3), dtype=np.uint8)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh({"sp": 8})
+    assert m.devices.shape == (8,)
+    m2 = make_mesh({"dp": 2, "sp": -1})
+    assert m2.devices.shape == (2, 4)
+    assert m2.axis_names == ("dp", "sp")
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_pipeline_mesh_invariant(n_dev):
+    mesh = make_mesh({"sp": n_dev}, devices=jax.devices()[:n_dev])
+    hue, rgb_hue, mm = sharded_hue_pipeline(FRAMES, mesh)
+    ref = process_frames(FRAMES, PipelineConfig(chunk=8))
+    np.testing.assert_array_equal(np.asarray(hue)[:15], ref["hue_table"])
+    np.testing.assert_array_equal(np.asarray(rgb_hue)[:15], ref["rgb_hue_table"])
+    np.testing.assert_allclose(
+        np.asarray(mm)[:15], ref["mean_magnitude"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_temporal_shard_flow_matches_batched():
+    from opticalflowclustering_tpu.flow.farneback import farneback_flow_batched
+    from opticalflowclustering_tpu.ops.colorspace import bgr2gray
+
+    mesh = make_mesh({"sp": 8})
+    flow = np.asarray(temporal_shard_flow(FRAMES, mesh))[:15]
+    gray = np.asarray(bgr2gray(FRAMES))
+    want = np.asarray(farneback_flow_batched(gray))
+    np.testing.assert_allclose(flow, want, atol=1e-5)
+
+
+def test_fused_train_step_runs_and_learns():
+    import optax
+
+    from opticalflowclustering_tpu.flow.farneback import FarnebackParams
+    from opticalflowclustering_tpu.models.bounce_classifier import init_classifier
+    from opticalflowclustering_tpu.parallel.train import make_fused_train_step
+
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    grid = GridParams(4, 6)
+    model, params = init_classifier(jax.random.PRNGKey(0), grid.rows * grid.cols)
+    tx = optax.adamw(1e-2)
+    opt_state = tx.init(params)
+    step = make_fused_train_step(
+        mesh, model, tx, grid=grid, flow_params=FarnebackParams(levels=1)
+    )
+    videos = RNG.integers(0, 256, size=(4, 8, 64, 96, 3), dtype=np.uint8)
+    labels = RNG.integers(0, 2, size=(4, 8)).astype(np.float32)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, videos, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
