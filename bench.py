@@ -16,10 +16,24 @@ sklearn KMeans(k=1) → hue, timed over a few frames and scaled.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the benchmark measures steady-state
+    throughput, and the dev TPU tunnel's remote-compile service can be slow —
+    cached executables make repeat runs start in seconds."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 H, W, N = 720, 1280, 49
 GRID_ROWS, GRID_COLS = 14, 25
@@ -48,7 +62,7 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
         _chunk_step,
     )
 
-    cfg = PipelineConfig(chunk=16)
+    cfg = PipelineConfig(chunk=16, emit_flow_bgr=False)
     n_pairs = frames.shape[0] - 1
 
     chunks = []
@@ -116,6 +130,7 @@ def bench_cpu_reference(frames: np.ndarray, n_frames: int = 3) -> float:
 
 
 def main():
+    _enable_compile_cache()
     frames = synth_frames()
     cpu_fps = bench_cpu_reference(frames)
     print(f"cpu reference: {cpu_fps:.3f} fps", file=sys.stderr)

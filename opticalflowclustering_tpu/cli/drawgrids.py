@@ -15,6 +15,19 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--path", required=True)
+    ap.add_argument(
+        "--optical",
+        default=None,
+        help="pre-rendered flow video to grid instead of computing flow "
+        "inline (the dual-VideoCapture variant, "
+        "drawGridsAndOutputCSV.py:147-148)",
+    )
+    ap.add_argument(
+        "--use-rgb",
+        action="store_true",
+        help="grid the RGB frames instead of the flow render (the showRGB "
+        "toggle, drawGridsAndOutputCSV.py:180-183)",
+    )
     ap.add_argument("--noyolo", action="store_false")
     ap.add_argument("--nocontour", action="store_false")
     ap.add_argument("--tenbyten", action="store_true")
@@ -37,7 +50,28 @@ def main(argv=None):
     grid = GridParams(10, 10) if args.tenbyten else GridParams(14, 25)
     cfg = PipelineConfig(grid=grid)
     frames = read_video_bgr(args.path, args.max_frames)
-    out = process_frames(frames, cfg)
+
+    if args.optical or args.use_rgb:
+        # Grid pre-rendered flow frames (or the RGB frames themselves)
+        # without recomputing flow — the non-Change variant's data flow.
+        import numpy as np
+
+        from opticalflowclustering_tpu.features.grid import grid_mean_hue
+        from opticalflowclustering_tpu.pipeline.bounce import grid_cluster_stage
+
+        src = (
+            frames[1:]
+            if args.use_rgb
+            else read_video_bgr(args.optical, args.max_frames)
+        )
+        hue, rgb_hue = grid_cluster_stage(src, grid, cfg.rb_swap)
+        out = {
+            "flow_bgr": np.asarray(src),
+            "hue_table": np.asarray(hue),
+            "rgb_hue_table": np.asarray(rgb_hue),
+        }
+    else:
+        out = process_frames(frames, cfg)
 
     write_rgb_values_csv(args.path + "_rgb_values.csv", out["rgb_hue_table"])
 

@@ -54,13 +54,25 @@ def main(argv=None):
 
     if os.path.isfile(args["path"]) and os.path.getsize(args["path"]) > 4096:
         from opticalflowclustering_tpu.pipeline.bounce import (
+            OverlaySpec,
             PipelineConfig,
             process_frames,
         )
         from opticalflowclustering_tpu.io.video import read_video_bgr
 
+        # argparse store_false: flags default True, passing --noyolo /
+        # --nocontour turns them off (`KmeanGrids.py:255-257,353-354`).
+        overlays = None
+        if args["noyolo"] or args["nocontour"]:
+            overlays = OverlaySpec(
+                yolo_file="yolo_labels.txt" if args["noyolo"] else None,
+                contour_dir="Contours" if args["nocontour"] else None,
+                video_name=os.path.basename(args["path"]),
+            )
         frames = read_video_bgr(args["path"], args["max_frames"])
-        out = process_frames(frames, PipelineConfig(rb_swap=rb_swap))
+        out = process_frames(
+            frames, PipelineConfig(rb_swap=rb_swap), overlays=overlays
+        )
         hue_table = out["hue_table"]
         centroids = None
     else:

@@ -52,6 +52,22 @@ class PipelineConfig:
     rb_swap: bool = True
     # Frame pairs per jitted chunk (memory/throughput trade-off).
     chunk: int = 16
+    # Materialize the rendered flow video as an output. The feature tables
+    # are ~3 KB/frame; the render is ~2.7 MB/frame — skip it when only CSVs
+    # are needed (host transfer dominates on remote runtimes otherwise).
+    emit_flow_bgr: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OverlaySpec:
+    """YOLO-box / contour overlays (`KmeanGrids.py:201-211`). When present,
+    the pipeline runs two-phase (flow render on device → host overlay edit →
+    grid/cluster on device) because the per-frame boxes/polygons are ragged
+    host data. The documented runs disable both (--noyolo --nocontour)."""
+
+    yolo_file: str | None = None
+    contour_dir: str | None = None
+    video_name: str = ""
 
 
 def chunk_step(frames_chunk, cfg: PipelineConfig):
@@ -78,25 +94,44 @@ def chunk_step(frames_chunk, cfg: PipelineConfig):
     _, hue = dominant_hue_k1(rgba)
 
     rgb_hue = grid_mean_hue(flow_bgr, cfg.grid)
-    return {
-        "flow_bgr": flow_bgr,
+    out = {
         "hue_table": hue,
         "rgb_hue_table": rgb_hue,
         "mean_magnitude": mean_mag,
     }
+    if cfg.emit_flow_bgr:
+        out["flow_bgr"] = flow_bgr
+    return out
 
 
 _chunk_step = functools.partial(jax.jit, static_argnames=("cfg",))(chunk_step)
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "rb_swap"))
+def grid_cluster_stage(flow_bgr, grid: GridParams, rb_swap: bool):
+    """Grid pooling + dominant hue for pre-rendered (possibly host-edited)
+    flow frames — the device half of the two-phase overlay path."""
+    cells = extract_cells(flow_bgr, grid)
+    cells_own = whiten_grid_lines(cells, grid, own_rectangle=True)
+    rgba = preprocess_cells_rgba(cells_own, rb_swap=rb_swap)
+    _, hue = dominant_hue_k1(rgba)
+    rgb_hue = grid_mean_hue(flow_bgr, grid)
+    return hue, rgb_hue
+
+
 def process_frames(
-    frames_bgr: np.ndarray, cfg: PipelineConfig = PipelineConfig()
+    frames_bgr: np.ndarray,
+    cfg: PipelineConfig = PipelineConfig(),
+    overlays: OverlaySpec | None = None,
 ) -> dict[str, np.ndarray]:
     """Full pipeline over decoded [N,H,W,3] uint8 BGR frames.
 
     Returns per-pair arrays (N-1 rows): flow_bgr render, OutCSV hue table,
     rgb_values hue table, mean flow magnitude. Streams in cfg.chunk-pair
-    chunks so arbitrary-length videos reuse one compiled program.
+    chunks so arbitrary-length videos reuse one compiled program. With
+    `overlays`, YOLO boxes / contour masks are drawn onto each rendered
+    frame (host edit) before the grid stage, matching
+    `KmeanGrids.py:201-231`'s ordering (overlays before overlayGrid).
     """
     frames_bgr = np.asarray(frames_bgr)
     n = frames_bgr.shape[0]
@@ -113,8 +148,41 @@ def process_frames(
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         out = _chunk_step(chunk, cfg)
         out = {k: np.asarray(v)[: stop - start] for k, v in out.items()}
+        if overlays is not None:
+            flow_bgr = out["flow_bgr"].copy()
+            # frameNum: the reference counts the first decoded frame as 1
+            # and pairs start at frame 2 (`KmeanGrids.py:169,189`).
+            _apply_overlays(flow_bgr, start + 2, overlays)
+            hue, rgb_hue = grid_cluster_stage(flow_bgr, cfg.grid, cfg.rb_swap)
+            out["flow_bgr"] = flow_bgr
+            out["hue_table"] = np.asarray(hue)
+            out["rgb_hue_table"] = np.asarray(rgb_hue)
         outs.append(out)
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def _apply_overlays(
+    flow_bgr: np.ndarray, first_frame_num: int, spec: OverlaySpec
+) -> None:
+    from opticalflowclustering_tpu.io.overlays import (
+        apply_contour_mask,
+        draw_rect_outline,
+        load_contour_polys,
+        load_yolo_boxes,
+        yolo_rects_for_frame,
+    )
+
+    yolo = load_yolo_boxes(spec.yolo_file) if spec.yolo_file else None
+    for i in range(flow_bgr.shape[0]):
+        frame_num = first_frame_num + i
+        if yolo is not None:
+            for x, y, w, h in yolo_rects_for_frame(yolo, frame_num):
+                draw_rect_outline(flow_bgr[i], x, y, w, h)
+        if spec.contour_dir:
+            polys = load_contour_polys(
+                spec.contour_dir, spec.video_name, frame_num
+            )
+            apply_contour_mask(flow_bgr[i], polys)
 
 
 def process_video_file(
