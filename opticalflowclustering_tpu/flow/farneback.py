@@ -45,7 +45,20 @@ _BORDER_SCALE = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], dtype=np.float32)
 @dataclasses.dataclass(frozen=True)
 class FarnebackParams:
     """Mirror of cv2.calcOpticalFlowFarneback's signature; defaults are the
-    reference's exact call (`computeOpticalFlowModule.py:20-22`)."""
+    reference's exact call (`computeOpticalFlowModule.py:20-22`).
+
+    warp_mode selects the flow-warp implementation inside the local-system
+    rebuild (the pipeline's hottest op — ~98% of runtime as an XLA gather):
+      'exact' — per-pixel bilinear gather, bit-faithful to OpenCV.
+      'fast'  — separable select-warp: per-pixel integer displacement
+                selected from shifted array copies (VPU-only, no gather,
+                ~7× faster). Exact for displacements within ±warp_radius
+                whose integer part is locally smooth; at motion
+                discontinuities the vertical offset is taken from a pixel
+                up to |dx| columns away, so results can deviate there.
+                EPE vs OpenCV stays far below the 0.1 px target on motion
+                up to warp_radius px/frame (tests/test_farneback.py).
+    """
 
     pyr_scale: float = 0.5
     levels: int = 3
@@ -54,6 +67,8 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # OPTFLOW_FARNEBACK_GAUSSIAN
+    warp_mode: str = "exact"
+    warp_radius: int = 32
 
 
 def _cvround(x: float) -> int:
@@ -184,8 +199,73 @@ def _border_taper(h: int, w: int) -> np.ndarray:
     return ramp_y[:, None] * ramp_x[None, :]
 
 
+def _warp_gather(r1: jnp.ndarray, y1c, x1c, fx, fy) -> jnp.ndarray:
+    """Exact bilinear warp: 4 corner gathers (OpenCV-faithful).
+    r1: [..., H, W, C]; index/frac fields [..., H, W]."""
+    h, w, c = r1.shape[-3], r1.shape[-2], r1.shape[-1]
+    lead = r1.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    rf = r1.reshape(b * h * w, c)
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(
+        (b,) + (1,) * 2
+    )
+    base = ((y1c * w + x1c).reshape(b, h, w) + boff).reshape(-1)
+    shp = lead + (h, w, c)
+    p00 = jnp.take(rf, base, axis=0).reshape(shp)
+    p01 = jnp.take(rf, base + 1, axis=0).reshape(shp)
+    p10 = jnp.take(rf, base + w, axis=0).reshape(shp)
+    p11 = jnp.take(rf, base + w + 1, axis=0).reshape(shp)
+    fxe = fx[..., None]
+    fye = fy[..., None]
+    return (
+        p00 * (1 - fxe) * (1 - fye)
+        + p01 * fxe * (1 - fye)
+        + p10 * (1 - fxe) * fye
+        + p11 * fxe * fye
+    )
+
+
+def _warp_select(r1: jnp.ndarray, y1i, x1i, fx, fy, radius: int) -> jnp.ndarray:
+    """Gather-free separable select-warp (warp_mode='fast'): the integer
+    displacement picks from shifted array copies via per-pixel masks —
+    pure VPU traffic. See FarnebackParams.warp_mode for the accuracy
+    contract. Out-of-range displacements clamp; callers discard those
+    pixels through the out-of-bounds fallback mask anyway.
+    r1: [..., H, W, C]."""
+    h, w = r1.shape[-3], r1.shape[-2]
+    nb = r1.ndim - 3
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    oy = jnp.clip(y1i - ys, -radius, radius - 1)
+    ox = jnp.clip(x1i - xs, -radius, radius - 1)
+    pad = radius + 1
+    zero = [(0, 0)] * nb
+    rp = jnp.pad(r1, zero + [(pad, pad), (0, 0), (0, 0)], mode="edge")
+    a0 = jnp.zeros_like(r1)
+    a1 = jnp.zeros_like(r1)
+    for o in range(-radius, radius):
+        sel = (oy == o)[..., None]
+        a0 = jnp.where(sel, rp[..., pad + o : pad + o + h, :, :], a0)
+        a1 = jnp.where(sel, rp[..., pad + o + 1 : pad + o + 1 + h, :, :], a1)
+    fye = fy[..., None]
+    av = a0 * (1 - fye) + a1 * fye
+    avp = jnp.pad(av, zero + [(0, 0), (pad, pad), (0, 0)], mode="edge")
+    b0 = jnp.zeros_like(r1)
+    b1 = jnp.zeros_like(r1)
+    for o in range(-radius, radius):
+        sel = (ox == o)[..., None]
+        b0 = jnp.where(sel, avp[..., pad + o : pad + o + w, :], b0)
+        b1 = jnp.where(sel, avp[..., pad + o + 1 : pad + o + 1 + w, :], b1)
+    fxe = fx[..., None]
+    return b0 * (1 - fxe) + b1 * fxe
+
+
 def update_matrices(
-    r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray
+    r0: jnp.ndarray,
+    r1: jnp.ndarray,
+    flow: jnp.ndarray,
+    warp_mode: str = "exact",
+    warp_radius: int = 32,
 ) -> jnp.ndarray:
     """Build the 5-channel local-system tensor M = [G11,G12,G22,h1,h2].
 
@@ -193,10 +273,10 @@ def update_matrices(
     fallback: constant-motion assumption and halved cross term), averages
     the quadratic coefficients, forms the normal equations of
     A·d = Δb, and tapers the 5-px border.
-    r0, r1: [H, W, 5]; flow: [H, W, 2] (x,y). Returns [H, W, 5].
+    r0, r1: [..., H, W, 5]; flow: [..., H, W, 2] (x,y) → [..., H, W, 5].
     """
     f32 = jnp.float32
-    h, w = flow.shape[0], flow.shape[1]
+    h, w = flow.shape[-3], flow.shape[-2]
     dx = flow[..., 0]
     dy = flow[..., 1]
     gx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
@@ -208,18 +288,35 @@ def update_matrices(
     x1i = x1.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
     inb = (x1i >= 0) & (x1i <= w - 2) & (y1i >= 0) & (y1i <= h - 2)
+    if warp_mode in ("pallas", "fast"):
+        # Displacements beyond the kernel's exactness window take the same
+        # constant-motion fallback OpenCV applies to out-of-image samples —
+        # intermediate solver spikes (near-singular windows at the tapered
+        # border) routinely exceed any static radius and must not feed
+        # clamped garbage back into the iteration.
+        ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+        xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
+        inb = (
+            inb
+            & (jnp.abs(y1i - ys_i) <= warp_radius - 1)
+            & (jnp.abs(x1i - xs_i) <= 126)
+        )
 
-    x1c = jnp.clip(x1i, 0, w - 2)
-    y1c = jnp.clip(y1i, 0, h - 2)
-    p00 = r1[y1c, x1c]
-    p01 = r1[y1c, x1c + 1]
-    p10 = r1[y1c + 1, x1c]
-    p11 = r1[y1c + 1, x1c + 1]
-    a00 = ((1 - fx) * (1 - fy))[..., None]
-    a01 = (fx * (1 - fy))[..., None]
-    a10 = ((1 - fx) * fy)[..., None]
-    a11 = (fx * fy)[..., None]
-    r1w = a00 * p00 + a01 * p01 + a10 * p10 + a11 * p11
+    if warp_mode == "pallas":
+        import jax as _jax
+
+        from opticalflowclustering_tpu.kernels.warp import warp_bilinear_tpu
+
+        r1w = warp_bilinear_tpu(
+            r1, flow, radius=warp_radius,
+            interpret=_jax.default_backend() != "tpu",
+        )
+    elif warp_mode == "fast":
+        r1w = _warp_select(r1, y1i, x1i, fx, fy, warp_radius)
+    else:
+        x1c = jnp.clip(x1i, 0, w - 2)
+        y1c = jnp.clip(y1i, 0, h - 2)
+        r1w = _warp_gather(r1, y1c, x1c, fx, fy)
 
     # In-bounds: average quadratic terms; out-of-bounds: keep r0's, halve xy.
     r4 = jnp.where(inb, (r0[..., 2] + r1w[..., 2]) * f32(0.5), r0[..., 2])
@@ -308,7 +405,8 @@ def farneback_flow(
     next_img: jnp.ndarray,
     params: FarnebackParams = FarnebackParams(),
 ) -> jnp.ndarray:
-    """Dense flow for one grayscale pair: [H, W] (uint8 or float) → [H, W, 2].
+    """Dense flow for grayscale pairs: [..., H, W] (uint8 or float) →
+    [..., H, W, 2]. Natively batched over any leading dims.
 
     Functionally equivalent to
     cv2.calcOpticalFlowFarneback(prev, next, None, pyr_scale, levels,
@@ -316,6 +414,7 @@ def farneback_flow(
     usage at `computeOpticalFlowModule.py:20-22`.
     """
     h, w = prev_img.shape[-2], prev_img.shape[-1]
+    lead = tuple(prev_img.shape[:-2])
     plan = pyramid_plan(h, w, params)
     prev_f = prev_img.astype(jnp.float32)
     next_f = next_img.astype(jnp.float32)
@@ -331,24 +430,26 @@ def farneback_flow(
         r1 = poly_expansion(levels_imgs[1], params.poly_n, params.poly_sigma)
 
         if flow is None:
-            flow = jnp.zeros((h_k, w_k, 2), jnp.float32)
+            flow = jnp.zeros(lead + (h_k, w_k, 2), jnp.float32)
         else:
             flow = resize_linear_flow(flow, (h_k, w_k)) * jnp.float32(
                 1.0 / params.pyr_scale
             )
 
-        m = update_matrices(r0, r1, flow)
+        m = update_matrices(r0, r1, flow, params.warp_mode, params.warp_radius)
         for i in range(params.iterations):
             flow = _update_flow(m, params.winsize, params.gaussian_win)
             if i < params.iterations - 1:
-                m = update_matrices(r0, r1, flow)
+                m = update_matrices(
+                    r0, r1, flow, params.warp_mode, params.warp_radius
+                )
     return flow
 
 
 def resize_linear_flow(flow: jnp.ndarray, dst_hw: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear-resize an [H, W, 2] flow field (channel-last)."""
+    """Bilinear-resize a [..., H, W, 2] flow field (channel-last)."""
     return jnp.moveaxis(
-        resize_linear(jnp.moveaxis(flow, -1, 0), dst_hw), 0, -1
+        resize_linear(jnp.moveaxis(flow, -1, -3), dst_hw), -3, -1
     )
 
 
@@ -358,11 +459,6 @@ def farneback_flow_batched(
     """Flow for every consecutive pair of [N, H, W] frames → [N-1, H, W, 2].
 
     Replaces the reference's sequential per-frame loop
-    (`KmeanGrids.py:180-187`): all N-1 pairs are independent, so they batch
-    across the leading axis (and across chips when sharded — see
-    parallel/temporal.py).
-    """
-    pairs_prev = gray_frames[:-1]
-    pairs_next = gray_frames[1:]
-    fn = jax.vmap(lambda p, n: farneback_flow(p, n, params))
-    return fn(pairs_prev, pairs_next)
+    (`KmeanGrids.py:180-187`): all N-1 pairs are independent and
+    farneback_flow is natively batched, so this is one call."""
+    return farneback_flow(gray_frames[:-1], gray_frames[1:], params)

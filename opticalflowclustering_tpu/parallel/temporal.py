@@ -68,7 +68,7 @@ def temporal_shard_flow(
     def step(frames_local):
         gray = bgr2gray(frames_local)
         prev, nxt = _halo_pairs(gray, axis_name)
-        return jax.vmap(lambda p, n: farneback_flow(p, n, params))(prev, nxt)
+        return farneback_flow(prev, nxt, params)
 
     return step(frames)
 
@@ -97,7 +97,7 @@ def sharded_hue_pipeline(
     def step(frames_local):
         gray = bgr2gray(frames_local)
         prev, nxt = _halo_pairs(gray, axis_name)
-        flow = jax.vmap(lambda p, n: farneback_flow(p, n, params))(prev, nxt)
+        flow = farneback_flow(prev, nxt, params)
         mag = magnitude(flow[..., 0], flow[..., 1])
         mean_mag = jnp.mean(mag, axis=(-2, -1))
         flow_bgr = render_flow_hsv_bgr(flow)

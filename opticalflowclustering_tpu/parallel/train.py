@@ -49,9 +49,7 @@ def _local_hue_features(
     gray_ext = jnp.concatenate([gray, recv], axis=1)
     prev, nxt = gray_ext[:, :-1], gray_ext[:, 1:]
 
-    flow = jax.vmap(
-        jax.vmap(lambda p, n: farneback_flow(p, n, params))
-    )(prev, nxt)
+    flow = farneback_flow(prev, nxt, params)
     flow_bgr = render_flow_hsv_bgr(flow)
     cells = extract_cells(flow_bgr, grid)
     cells = whiten_grid_lines(cells, grid, own_rectangle=True)

@@ -80,10 +80,7 @@ def chunk_step(frames_chunk, cfg: PipelineConfig):
     costs seconds per dispatch.
     """
     gray = bgr2gray(frames_chunk)
-    prev_gray, next_gray = gray[:-1], gray[1:]
-    flow = jax.vmap(lambda p, n: farneback_flow(p, n, cfg.flow))(
-        prev_gray, next_gray
-    )
+    flow = farneback_flow(gray[:-1], gray[1:], cfg.flow)
     mag = magnitude(flow[..., 0], flow[..., 1])
     mean_mag = jnp.mean(mag, axis=(-2, -1))
     flow_bgr = render_flow_hsv_bgr(flow)
