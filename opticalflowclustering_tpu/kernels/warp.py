@@ -123,22 +123,22 @@ def _warp_kernel(flow_ref, src_hbm, out_ref, scratch, sem,
         return acc.reshape(c * rb, ntiles, _LANES)
 
     shape_out = (c, rb, w)
-    p00 = jnp.zeros(shape_out, f32)
-    p01 = jnp.zeros(shape_out, f32)
-    p10 = jnp.zeros(shape_out, f32)
-    p11 = jnp.zeros(shape_out, f32)
-    for o in range(n_cand):
-        rows0 = scratch[:, o : o + rb, :]
-        rows1 = scratch[:, o + 1 : o + 1 + rb, :]
-        g00 = hgather_exact(rows0, idx0, sel0).reshape(shape_out)
-        g01 = hgather_exact(rows0, idx1, sel1).reshape(shape_out)
-        g10 = hgather_exact(rows1, idx0, sel0).reshape(shape_out)
-        g11 = hgather_exact(rows1, idx1, sel1).reshape(shape_out)
-        m = (o_needed == o)[None]
-        p00 = jnp.where(m, g00, p00)
-        p01 = jnp.where(m, g01, p01)
-        p10 = jnp.where(m, g10, p10)
-        p11 = jnp.where(m, g11, p11)
+    zeros = jnp.zeros(shape_out, f32)
+    p00 = p01 = p10 = p11 = zeros
+    # Unrolled candidate loop (dynamic VMEM slices require 8-row alignment,
+    # so offsets are static). Corner sharing: candidate row-slice o is both
+    # the y1 rows of candidate o and the y1+1 rows of candidate o-1 — two
+    # gathers per iteration instead of six.
+    for o in range(n_cand + 1):
+        rows = scratch[:, o : o + rb, :]
+        g0 = hgather_exact(rows, idx0, sel0).reshape(shape_out)
+        g1 = hgather_exact(rows, idx1, sel1).reshape(shape_out)
+        m0 = (o_needed == o)[None]
+        m1 = (o_needed == o - 1)[None]
+        p00 = jnp.where(m0, g0, p00)
+        p01 = jnp.where(m0, g1, p01)
+        p10 = jnp.where(m1, g0, p10)
+        p11 = jnp.where(m1, g1, p11)
 
     out = (
         p00 * (1 - fx) * (1 - fy)
