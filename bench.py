@@ -54,15 +54,48 @@ def synth_frames(n=N, h=H, w=W, seed=0):
     return np.stack(frames)
 
 
+def pipeline_config():
+    from opticalflowclustering_tpu.flow.farneback import FarnebackParams
+    from opticalflowclustering_tpu.pipeline.bounce import PipelineConfig
+
+    # warp_mode='fast': the gather-free select-warp. Verified to match both
+    # the exact mode and cv2 to ~0 EPE on real footage (flow estimates only
+    # deviate where they are garbage on both paths); radius 32 covers
+    # ≥32 px/frame motion at the finest level (scaled per pyramid level).
+    return PipelineConfig(
+        chunk=8,
+        emit_flow_bgr=False,
+        flow=FarnebackParams(warp_mode="fast", warp_radius=32),
+    )
+
+
+def bench_epe_vs_cv2(frames: np.ndarray, n_pairs: int = 2) -> float:
+    """Mean EPE of the benchmarked configuration vs cv2 on this clip."""
+    import cv2
+    import jax
+
+    from opticalflowclustering_tpu.flow.farneback import farneback_flow
+    from opticalflowclustering_tpu.ops.colorspace import bgr2gray
+
+    cfg = pipeline_config()
+    gray = np.asarray(jax.jit(bgr2gray)(frames[: n_pairs + 1]))
+    jf = jax.jit(lambda a, b: farneback_flow(a, b, cfg.flow))
+    worst = 0.0
+    for i in range(n_pairs):
+        want = cv2.calcOpticalFlowFarneback(
+            gray[i], gray[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0
+        )
+        got = np.asarray(jf(gray[i], gray[i + 1]))
+        worst = max(worst, float(np.sqrt(((got - want) ** 2).sum(-1)).mean()))
+    return worst
+
+
 def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
     import jax
 
-    from opticalflowclustering_tpu.pipeline.bounce import (
-        PipelineConfig,
-        _chunk_step,
-    )
+    from opticalflowclustering_tpu.pipeline.bounce import _chunk_step
 
-    cfg = PipelineConfig(chunk=16, emit_flow_bgr=False)
+    cfg = pipeline_config()
     n_pairs = frames.shape[0] - 1
 
     chunks = []
@@ -136,6 +169,9 @@ def main():
     print(f"cpu reference: {cpu_fps:.3f} fps", file=sys.stderr)
     tpu_fps = bench_tpu(frames)
     print(f"tpu pipeline: {tpu_fps:.1f} fps", file=sys.stderr)
+    epe = bench_epe_vs_cv2(frames)
+    print(f"flow mean EPE vs cv2 on this clip: {epe:.5f} px "
+          f"(target < 0.1)", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -104,6 +104,28 @@ def warp_with(corner_fn, r1, flow):
             + p10 * (1 - fx) * fy + p11 * fx * fy)
 
 
+def corners_pack20(r1, y1c, x1c):
+    # all 4 corners contiguous per index: one take of [HW, 20]
+    right = jnp.concatenate([r1[:, 1:], r1[:, -1:]], axis=1)
+    down = jnp.concatenate([r1[1:], r1[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    packed = jnp.concatenate([r1, right, down, downright], axis=-1)  # [H,W,20]
+    pf = packed.reshape(H * W, 4 * C)
+    base = (y1c * W + x1c).reshape(-1)
+    g = jnp.take(pf, base, axis=0).reshape(H, W, 4, C)
+    return g[:, :, 0], g[:, :, 1], g[:, :, 2], g[:, :, 3]
+
+
+def corners_pack10(r1, y1c, x1c):
+    # two corners (x, x+1) contiguous: two takes of [HW, 10]
+    right = jnp.concatenate([r1[:, 1:], r1[:, -1:]], axis=1)
+    packed = jnp.concatenate([r1, right], axis=-1).reshape(H * W, 2 * C)
+    base = (y1c * W + x1c).reshape(-1)
+    g0 = jnp.take(packed, base, axis=0).reshape(H, W, 2, C)
+    g1 = jnp.take(packed, base + W, axis=0).reshape(H, W, 2, C)
+    return g0[:, :, 0], g0[:, :, 1], g1[:, :, 0], g1[:, :, 1]
+
+
 def warp_select16(r1, flow, radius=16):
     dx = flow[..., 0]
     dy = flow[..., 1]
@@ -148,6 +170,8 @@ def main():
             "flat": corners_flat,
             "slicegather": corners_slicegather,
             "rowpair": corners_rowpair,
+            "pack20": corners_pack20,
+            "pack10": corners_pack10,
         }[variant]
         fn = lambda r, f: warp_with(cf, r, f)
 
