@@ -54,8 +54,6 @@ def main(argv=None):
     if args.optical or args.use_rgb:
         # Grid pre-rendered flow frames (or the RGB frames themselves)
         # without recomputing flow — the non-Change variant's data flow.
-        import numpy as np
-
         from opticalflowclustering_tpu.features.grid import grid_mean_hue
         from opticalflowclustering_tpu.pipeline.bounce import grid_cluster_stage
 
@@ -85,6 +83,34 @@ def main(argv=None):
     for c in range(grid.cols + 1):
         x = min(c * xs, w - 1)
         flow_bgr[:, : grid.rows * ys, x] = 255
+
+    # Per-cell mean-value text labels, centered in each cell — the
+    # reference's annotation pass (`drawGridsAndOutputCSV.py:106-122`:
+    # FONT_HERSHEY_SIMPLEX 0.3, white, thickness 1, LINE_AA, drawn after all
+    # rectangles; the mean itself is taken before the cell's own rectangle).
+    import cv2
+
+    from opticalflowclustering_tpu.features.grid import grid_mean_bgr
+
+    means = np.asarray(grid_mean_bgr(out["flow_bgr"], grid))
+    font, font_scale, thickness = cv2.FONT_HERSHEY_SIMPLEX, 0.3, 1
+    for f in range(flow_bgr.shape[0]):
+        for i in range(grid.rows * grid.cols):
+            x = (i % grid.cols) * xs
+            y = (i // grid.cols) * ys + 10
+            b, g, r = (int(v) for v in means[f, i])
+            text = f"({b}, {g}, {r})"
+            (tw, th), _ = cv2.getTextSize(text, font, font_scale, thickness)
+            cv2.putText(
+                flow_bgr[f],
+                text,
+                (x + (xs - tw) // 2, y + (ys - th) // 2 + th),
+                font,
+                font_scale,
+                (255, 255, 255),
+                thickness,
+                cv2.LINE_AA,
+            )
     write_video_mjpg(args.path + "_output.mp4", flow_bgr, video_fps(args.path))
 
     if args.dump_cells:

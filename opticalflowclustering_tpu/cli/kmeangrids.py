@@ -52,7 +52,17 @@ def main(argv=None):
 
     video_name = os.path.basename(args["dir"].rstrip("/\\"))
 
-    if os.path.isfile(args["path"]) and os.path.getsize(args["path"]) > 4096:
+    from opticalflowclustering_tpu.io.video import is_lfs_pointer
+
+    use_video = os.path.isfile(args["path"])
+    if use_video and is_lfs_pointer(args["path"]):
+        # The reference commits every .mp4 as a Git-LFS pointer stub; fall
+        # back to the committed OutImgs cell tree (phase-2-only) explicitly.
+        print(f"{args['path']} is a Git-LFS pointer stub, not video data; "
+              f"clustering the committed cell tree at {args['dir']} instead")
+        use_video = False
+
+    if use_video:
         from opticalflowclustering_tpu.pipeline.bounce import (
             OverlaySpec,
             PipelineConfig,

@@ -85,13 +85,13 @@ def whiten_grid_lines(
     return cells
 
 
-def grid_mean_hue(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
-    """Per-cell mean-BGR hue, the `*_rgb_values.csv` feature
-    (`drawGridsAndOutputCSV.py:84-103`): mean over the ROI (white neighbor
-    edges included), truncated to uint8 like `.astype(np.uint8)`, converted
-    BGR→HSV as a single pixel, hue channel kept.
+def grid_mean_bgr(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
+    """Per-cell mean BGR, truncated to uint8 like the reference's
+    `np.mean(grid_roi, axis=(0,1)).astype(np.uint8)`
+    (`drawGridsAndOutputCSV.py:84`), with the rgb_values line semantics
+    (white neighbor edges included, own rectangle not yet drawn).
 
-    frames: [..., H, W, 3] uint8 → [..., rows*cols] float32 hue.
+    frames: [..., H, W, 3] uint8 → [..., rows*cols, 3] uint8.
     """
     cells = extract_cells(frames, grid)
     cells = whiten_grid_lines(cells, grid, own_rectangle=False)
@@ -100,6 +100,15 @@ def grid_mean_hue(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
     # floor(sum/count) — computed exactly in integer arithmetic.
     s = jnp.sum(cells.astype(jnp.int32), axis=(-3, -2))
     count = cells.shape[-3] * cells.shape[-2]
-    mean_u8 = (s // count).astype(jnp.uint8)
-    hsv = bgr2hsv(mean_u8)
+    return (s // count).astype(jnp.uint8)
+
+
+def grid_mean_hue(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
+    """Per-cell mean-BGR hue, the `*_rgb_values.csv` feature
+    (`drawGridsAndOutputCSV.py:84-103`): truncated-uint8 cell mean
+    (grid_mean_bgr) converted BGR→HSV as a single pixel, hue channel kept.
+
+    frames: [..., H, W, 3] uint8 → [..., rows*cols] float32 hue.
+    """
+    hsv = bgr2hsv(grid_mean_bgr(frames, grid))
     return hsv[..., 0].astype(jnp.float32)

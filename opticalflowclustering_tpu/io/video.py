@@ -12,6 +12,24 @@ from __future__ import annotations
 import numpy as np
 
 
+_LFS_POINTER_MAGIC = b"version https://git-lfs.github.com/spec/v1"
+
+
+def is_lfs_pointer(path: str) -> bool:
+    """True if `path` is a Git-LFS pointer stub rather than real media.
+
+    Every `.mp4` in the reference tree is such a stub
+    (`k-means-color-clustering/.gitattributes:1`); callers use this to fall
+    back to the committed PNG artifacts explicitly instead of guessing from
+    file size."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(len(_LFS_POINTER_MAGIC))
+    except OSError:
+        return False
+    return head == _LFS_POINTER_MAGIC
+
+
 def read_video_bgr(path: str, max_frames: int | None = None) -> np.ndarray:
     """Decode a video file → [N, H, W, 3] uint8 BGR frames."""
     import cv2

@@ -29,6 +29,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (VERDICT r1
+# weak #7 measured ~14 min cold). Warm runs reuse executables across
+# processes and sessions, including the subprocess CLI tests (they inherit
+# JAX_COMPILATION_CACHE_DIR via the environment).
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_cache_dir = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_repo_root, ".jax_cache")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 REFERENCE_ROOT = "/root/reference"
 
 
