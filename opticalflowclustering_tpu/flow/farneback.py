@@ -49,15 +49,20 @@ class FarnebackParams:
 
     warp_mode selects the flow-warp implementation inside the local-system
     rebuild (the pipeline's hottest op — ~98% of runtime as an XLA gather):
-      'exact' — per-pixel bilinear gather, bit-faithful to OpenCV.
-      'fast'  — separable select-warp: per-pixel integer displacement
-                selected from shifted array copies (VPU-only, no gather,
-                ~7× faster). Exact for displacements within ±warp_radius
-                whose integer part is locally smooth; at motion
-                discontinuities the vertical offset is taken from a pixel
-                up to |dx| columns away, so results can deviate there.
-                EPE vs OpenCV stays far below the 0.1 px target on motion
-                up to warp_radius px/frame (tests/test_farneback.py).
+      'exact'  — per-pixel bilinear gather, bit-faithful to OpenCV.
+      'fast'   — fused Pallas warp+M-build kernels (kernels/warp.py):
+                 vertical and horizontal bilinear sampling as vectorized
+                 128-lane gathers, VMEM-resident. Separable contract: the
+                 vertical interpolation consumed at column x1 used the flow
+                 at (y, x1), not (y, x) — deviation needs |dx| large AND dy
+                 varying there; measured ~0 EPE vs OpenCV on real footage.
+                 Displacement reach ±127 px per axis, beyond which OpenCV's
+                 own out-of-image constant-motion fallback applies. On
+                 non-TPU backends runs the bitwise-equal XLA emulation.
+      'select' — legacy gather-free select-warp (shifted-copy where-chains,
+                 round 1's fast mode): exact for displacements within
+                 ±warp_radius whose integer part is locally smooth; the
+                 where-chains don't fuse, so it is HBM-bound.
     """
 
     pyr_scale: float = 0.5
@@ -68,7 +73,7 @@ class FarnebackParams:
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # OPTFLOW_FARNEBACK_GAUSSIAN
     warp_mode: str = "exact"
-    warp_radius: int = 32
+    warp_radius: int = 32  # 'select' mode only
 
 
 def _cvround(x: float) -> int:
@@ -236,7 +241,7 @@ def _warp_gather(r1: jnp.ndarray, y1c, x1c, fx, fy) -> jnp.ndarray:
 
 
 def _warp_select(r1: jnp.ndarray, y1i, x1i, fx, fy, radius: int) -> jnp.ndarray:
-    """Gather-free separable select-warp (warp_mode='fast'): the integer
+    """Gather-free separable select-warp (warp_mode='select'): the integer
     displacement picks from shifted array copies via per-pixel masks —
     pure VPU traffic. See FarnebackParams.warp_mode for the accuracy
     contract. Out-of-range displacements clamp; callers discard those
@@ -270,6 +275,39 @@ def _warp_select(r1: jnp.ndarray, y1i, x1i, fx, fy, radius: int) -> jnp.ndarray:
     return b0 * (1 - fxe) + b1 * fxe
 
 
+def _m_build(r0c, r1wc, dx, dy, inb, taper):
+    """Normal-equation products from warped coefficients — shared verbatim
+    by the XLA paths here and the fused Pallas kernel (kernels/warp.py), so
+    every warp mode produces M through the identical op sequence.
+
+    r0c, r1wc: 5-tuples of per-channel arrays; returns the 5 M channels
+    (G11, G12, G22, h1, h2). In-bounds pixels average the quadratic terms;
+    out-of-bounds keep r0's with the halved cross term (OpenCV's
+    constant-motion fallback), then the 5-px border taper applies."""
+    f32 = jnp.float32
+    r4 = jnp.where(inb, (r0c[2] + r1wc[2]) * f32(0.5), r0c[2])
+    r5 = jnp.where(inb, (r0c[3] + r1wc[3]) * f32(0.5), r0c[3])
+    r6 = jnp.where(inb, (r0c[4] + r1wc[4]) * f32(0.25), r0c[4] * f32(0.5))
+    r2 = (r0c[0] - jnp.where(inb, r1wc[0], f32(0.0))) * f32(0.5)
+    r3 = (r0c[1] - jnp.where(inb, r1wc[1], f32(0.0))) * f32(0.5)
+    r2 = r2 + r4 * dy + r6 * dx
+    r3 = r3 + r6 * dy + r5 * dx
+
+    r2 = r2 * taper
+    r3 = r3 * taper
+    r4 = r4 * taper
+    r5 = r5 * taper
+    r6 = r6 * taper
+
+    return (
+        r4 * r4 + r6 * r6,
+        (r4 + r5) * r6,
+        r5 * r5 + r6 * r6,
+        r4 * r2 + r6 * r3,
+        r6 * r2 + r5 * r3,
+    )
+
+
 def update_matrices(
     r0: jnp.ndarray,
     r1: jnp.ndarray,
@@ -284,7 +322,18 @@ def update_matrices(
     the quadratic coefficients, forms the normal equations of
     A·d = Δb, and tapers the 5-px border.
     r0, r1: [..., H, W, 5]; flow: [..., H, W, 2] (x,y) → [..., H, W, 5].
+
+    warp_mode='fast' is handled by the fused kernel suite in kernels/warp.py
+    (dispatched from farneback_flow); this function covers 'exact' and the
+    legacy 'select' mode.
     """
+    if warp_mode == "fast":
+        from opticalflowclustering_tpu.kernels.warp import (
+            update_matrices_gather,
+        )
+
+        return update_matrices_gather(r0, r1, flow)
+
     f32 = jnp.float32
     h, w = flow.shape[-3], flow.shape[-2]
     dx = flow[..., 0]
@@ -298,12 +347,12 @@ def update_matrices(
     x1i = x1.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
     inb = (x1i >= 0) & (x1i <= w - 2) & (y1i >= 0) & (y1i <= h - 2)
-    if warp_mode in ("pallas", "fast"):
-        # Displacements beyond the kernel's exactness window take the same
-        # constant-motion fallback OpenCV applies to out-of-image samples —
-        # intermediate solver spikes (near-singular windows at the tapered
-        # border) routinely exceed any static radius and must not feed
-        # clamped garbage back into the iteration.
+    if warp_mode == "select":
+        # Displacements beyond the select-chain's exactness window take the
+        # same constant-motion fallback OpenCV applies to out-of-image
+        # samples — intermediate solver spikes (near-singular windows at the
+        # tapered border) routinely exceed any static radius and must not
+        # feed clamped garbage back into the iteration.
         ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
         xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
         inb = (
@@ -311,51 +360,16 @@ def update_matrices(
             & (jnp.abs(y1i - ys_i) <= warp_radius - 1)
             & (jnp.abs(x1i - xs_i) <= 126)
         )
-
-    if warp_mode == "pallas":
-        import jax as _jax
-
-        from opticalflowclustering_tpu.kernels.warp import warp_bilinear_tpu
-
-        r1w = warp_bilinear_tpu(
-            r1, flow, radius=warp_radius,
-            interpret=_jax.default_backend() != "tpu",
-        )
-    elif warp_mode == "fast":
         r1w = _warp_select(r1, y1i, x1i, fx, fy, warp_radius)
     else:
         x1c = jnp.clip(x1i, 0, w - 2)
         y1c = jnp.clip(y1i, 0, h - 2)
         r1w = _warp_gather(r1, y1c, x1c, fx, fy)
 
-    # In-bounds: average quadratic terms; out-of-bounds: keep r0's, halve xy.
-    r4 = jnp.where(inb, (r0[..., 2] + r1w[..., 2]) * f32(0.5), r0[..., 2])
-    r5 = jnp.where(inb, (r0[..., 3] + r1w[..., 3]) * f32(0.5), r0[..., 3])
-    r6 = jnp.where(
-        inb, (r0[..., 4] + r1w[..., 4]) * f32(0.25), r0[..., 4] * f32(0.5)
-    )
-    r2 = (r0[..., 0] - jnp.where(inb, r1w[..., 0], f32(0.0))) * f32(0.5)
-    r3 = (r0[..., 1] - jnp.where(inb, r1w[..., 1], f32(0.0))) * f32(0.5)
-    r2 = r2 + r4 * dy + r6 * dx
-    r3 = r3 + r6 * dy + r5 * dx
-
     taper = jnp.asarray(_border_taper(h, w))
-    r2 = r2 * taper
-    r3 = r3 * taper
-    r4 = r4 * taper
-    r5 = r5 * taper
-    r6 = r6 * taper
-
-    return jnp.stack(
-        [
-            r4 * r4 + r6 * r6,
-            (r4 + r5) * r6,
-            r5 * r5 + r6 * r6,
-            r4 * r2 + r6 * r3,
-            r6 * r2 + r5 * r3,
-        ],
-        axis=-1,
-    )
+    r0c = tuple(r0[..., c] for c in range(5))
+    r1wc = tuple(r1w[..., c] for c in range(5))
+    return jnp.stack(_m_build(r0c, r1wc, dx, dy, inb, taper), axis=-1)
 
 
 def _update_flow(m: jnp.ndarray, winsize: int, gaussian: bool) -> jnp.ndarray:
@@ -429,6 +443,18 @@ def farneback_flow(
     prev_f = prev_img.astype(jnp.float32)
     next_f = next_img.astype(jnp.float32)
 
+    # 'fast' dispatch: fused Pallas kernels (warp + M-build + box-solve,
+    # kernels/warp.py) on TPU; their bitwise-equivalent XLA emulation
+    # elsewhere (tests and CPU runs). The Gaussian-window variant keeps the
+    # XLA solve (the reference never sets OPTFLOW_FARNEBACK_GAUSSIAN).
+    fused_tpu = (
+        params.warp_mode == "fast"
+        and jax.default_backend() == "tpu"
+        and not params.gaussian_win
+    )
+    if fused_tpu:
+        from opticalflowclustering_tpu.kernels import warp as kw
+
     flow = None
     for k, h_k, w_k, sigma in plan:
         smooth_sz = max(_cvround(sigma * 5) | 1, 3)
@@ -440,21 +466,42 @@ def farneback_flow(
         r1 = poly_expansion(levels_imgs[1], params.poly_n, params.poly_sigma)
 
         if flow is None:
-            flow = jnp.zeros(lead + (h_k, w_k, 2), jnp.float32)
+            flow = None if fused_tpu else jnp.zeros(
+                lead + (h_k, w_k, 2), jnp.float32
+            )
         else:
             flow = resize_linear_flow(flow, (h_k, w_k)) * jnp.float32(
                 1.0 / params.pyr_scale
             )
 
-        # Flow values at level k are in level-k pixels (≈ motion / 2^k), so
-        # the bounded-warp modes need proportionally less vertical reach at
-        # coarse levels — halve the radius per level, floor 8.
-        radius_k = max(8, params.warp_radius >> k)
-        m = update_matrices(r0, r1, flow, params.warp_mode, radius_k)
-        for i in range(params.iterations):
-            flow = _update_flow(m, params.winsize, params.gaussian_win)
-            if i < params.iterations - 1:
-                m = update_matrices(r0, r1, flow, params.warp_mode, radius_k)
+        if fused_tpu:
+            # Transposes/pads of r0/r1 are iteration-invariant — prepared
+            # once per level; the iteration loop moves flow between kernels
+            # as padded planes with no pad/slice/transpose copies.
+            bufs = kw.prepare_fused_level(r0, r1)
+            if flow is None:
+                fxp, fyp = kw.zero_flow_planes(bufs)
+            else:
+                fxp, fyp = kw.pad_flow_planes(bufs, flow)
+            mpad = kw.fused_m_planes(bufs, fxp, fyp)
+            for i in range(params.iterations):
+                fxp, fyp = kw.fused_solve(bufs, mpad, params.winsize)
+                if i < params.iterations - 1:
+                    mpad = kw.fused_m_planes(bufs, fxp, fyp)
+            flow = kw.planes_to_flow(bufs, fxp, fyp)
+        else:
+            # Flow values at level k are in level-k pixels (≈ motion / 2^k),
+            # so the bounded select-warp needs proportionally less vertical
+            # reach at coarse levels — halve the radius per level, floor 8.
+            radius_k = max(8, params.warp_radius >> k)
+
+            m = update_matrices(r0, r1, flow, params.warp_mode, radius_k)
+            for i in range(params.iterations):
+                flow = _update_flow(m, params.winsize, params.gaussian_win)
+                if i < params.iterations - 1:
+                    m = update_matrices(
+                        r0, r1, flow, params.warp_mode, radius_k
+                    )
     return flow
 
 

@@ -6,4 +6,8 @@ per-pixel dynamic addressing that XLA lowers to a slow generic gather
 VMEM and uses the TPU's lane-dimension dynamic gather instead.
 """
 
-from opticalflowclustering_tpu.kernels.warp import warp_bilinear_tpu
+from opticalflowclustering_tpu.kernels.warp import (
+    fused_update_matrices,
+    prepare_fused_level,
+    update_matrices_gather,
+)

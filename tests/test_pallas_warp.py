@@ -1,6 +1,7 @@
-"""Pallas warp kernel: interpret-mode correctness vs the exact XLA gather,
-and pallas-mode Farneback EPE vs cv2 on real frames (CPU runs the kernel in
-interpret mode; the TPU path compiles the same program)."""
+"""Fused Pallas warp+M kernels (warp_mode='fast'): interpret-mode bitwise
+parity against the XLA emulation, semantic closeness to the exact gather
+path on smooth flows, and end-to-end Farneback EPE vs cv2 on real frames.
+The TPU path compiles the same kernel program the interpreter executes."""
 
 import os
 
@@ -9,90 +10,140 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from opticalflowclustering_tpu.flow.farneback import (
     FarnebackParams,
-    _warp_gather,
     farneback_flow,
+    update_matrices,
 )
-from opticalflowclustering_tpu.kernels.warp import warp_bilinear_tpu
+from opticalflowclustering_tpu.kernels.warp import (
+    fused_update_matrices,
+    prepare_fused_level,
+    update_matrices_gather,
+)
 
 RNG = np.random.default_rng(17)
 REF = "/root/reference/k-means-color-clustering"
 
 
-def _reference_corners(r1, flow):
-    h, w = flow.shape[-3], flow.shape[-2]
-    gx = np.arange(w)[None, :] + flow[..., 0]
-    gy = np.arange(h)[:, None] + flow[..., 1]
-    x1i = np.floor(gx).astype(np.int32)
-    y1i = np.floor(gy).astype(np.int32)
-    x1c = np.clip(x1i, 0, w - 2)
-    y1c = np.clip(y1i, 0, h - 2)
-    fx = jnp.asarray(gx - np.floor(gx), jnp.float32)
-    fy = jnp.asarray(gy - np.floor(gy), jnp.float32)
-    want = np.asarray(
-        _warp_gather(jnp.asarray(r1), jnp.asarray(y1c), jnp.asarray(x1c), fx, fy)
-    )
-    inb = (
-        (x1i >= 0) & (x1i <= w - 2) & (y1i >= 0) & (y1i <= h - 2)
-        & (np.abs(y1i - np.arange(h)[:, None]) <= 15)
-        & (np.abs(x1i - np.arange(w)[None, :]) <= 126)
-    )
-    return want, inb
+def _rand_case(shape_hw, sigma, lead=()):
+    h, w = shape_hw
+    r0 = RNG.normal(0, 10, lead + (h, w, 5)).astype(np.float32)
+    r1 = RNG.normal(0, 10, lead + (h, w, 5)).astype(np.float32)
+    flow = RNG.normal(0, sigma, lead + (h, w, 2)).astype(np.float32)
+    return r0, r1, flow
 
 
-@pytest.mark.parametrize("hw,sigma", [((64, 128), 3.0), ((40, 100), 2.0),
-                                      ((72, 300), 5.0)])
-def test_kernel_matches_exact_gather(hw, sigma):
-    h, w = hw
-    r1 = RNG.normal(0, 10, (h, w, 5)).astype(np.float32)
-    flow = RNG.normal(0, sigma, (h, w, 2)).astype(np.float32)
-    out = np.asarray(
-        warp_bilinear_tpu(r1, flow, radius=16, block_rows=16, interpret=True)
-    )
-    want, inb = _reference_corners(r1, flow)
-    d = np.where(inb[..., None], np.abs(out - want), 0)
-    # FMA-association noise between separately compiled programs only
-    assert d.max() < 1e-2
-    assert np.median(d[inb]) < 1e-3
+@pytest.mark.parametrize(
+    "hw,sigma",
+    [((64, 128), 3.0), ((40, 100), 2.0), ((72, 300), 60.0), ((200, 136), 8.0)],
+)
+def test_kernel_matches_emulation(hw, sigma):
+    """The interpret-mode kernels and the pure-XLA emulation implement the
+    same index math, window zeroing, and M-build op order; only FMA
+    contraction differs between the two compiled programs."""
+    r0, r1, flow = _rand_case(hw, sigma)
+    bufs = prepare_fused_level(r0, r1)
+    got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
+    want = np.asarray(update_matrices_gather(r0, r1, flow))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_kernel_batched():
-    r1 = RNG.normal(0, 10, (3, 64, 128, 5)).astype(np.float32)
-    flow = RNG.normal(0, 3, (3, 64, 128, 2)).astype(np.float32)
-    out = np.asarray(
-        warp_bilinear_tpu(r1, flow, radius=16, block_rows=16, interpret=True)
-    )
-    for i in range(3):
-        want, inb = _reference_corners(r1[i], flow[i])
-        d = np.where(inb[..., None], np.abs(out[i] - want), 0)
-        assert d.max() < 1e-2
+def test_kernel_bitwise_on_integer_exact_case():
+    """With integer-valued coefficients and integer flow every operation is
+    exact in f32, so kernel vs emulation must agree BITWISE — any sampling,
+    tile-window, or mask discrepancy would surface here."""
+    h, w = 72, 300
+    r0 = RNG.integers(-8, 8, (h, w, 5)).astype(np.float32)
+    r1 = RNG.integers(-8, 8, (h, w, 5)).astype(np.float32)
+    flow = RNG.integers(-150, 150, (h, w, 2)).astype(np.float32)
+    bufs = prepare_fused_level(r0, r1)
+    got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
+    want = np.asarray(update_matrices_gather(r0, r1, flow))
+    # Interior only: the 5-px border taper introduces inexact products where
+    # FMA contraction may differ between the two compiled programs.
+    np.testing.assert_array_equal(got[5:-5, 5:-5], want[5:-5, 5:-5])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_kernel_identity_and_shift():
-    r1 = RNG.normal(0, 10, (32, 128, 5)).astype(np.float32)
+def test_kernel_matches_emulation_batched():
+    r0, r1, flow = _rand_case((48, 160), 4.0, lead=(2, 3))
+    bufs = prepare_fused_level(r0, r1)
+    got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
+    want = np.asarray(update_matrices_gather(r0, r1, flow))
+    assert got.shape == (2, 3, 48, 160, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_fast_semantics_vs_exact_on_smooth_flow():
+    """Where dy is horizontally constant over the |dx| span (any smooth
+    flow), the separable 'fast' sampling equals the exact 2D gather, so the
+    resulting M tensors agree to float noise."""
+    h, w = 96, 256
+    r0, r1, _ = _rand_case((h, w), 0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    flow = np.stack(
+        [3.7 * np.sin(yy / 31.0), 2.3 * np.cos(yy / 23.0)], axis=-1
+    ).astype(np.float32)
+    want = np.asarray(update_matrices(r1=r1, r0=r0, flow=flow, warp_mode="exact"))
+    got = np.asarray(update_matrices_gather(r0, r1, flow))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
+def test_identity_flow_is_identity_warp():
+    """Zero flow: M built from r1 warped by nothing must equal the exact
+    path bitwise (gather indices are the identity)."""
+    r0, r1, _ = _rand_case((32, 128), 0)
     zero = np.zeros((32, 128, 2), np.float32)
-    out = np.asarray(
-        warp_bilinear_tpu(r1, zero, radius=8, block_rows=16, interpret=True)
+    want = np.asarray(update_matrices(r0, r1, zero, warp_mode="exact"))
+    got = np.asarray(update_matrices_gather(r0, r1, zero))
+    np.testing.assert_array_equal(got, want)
+    bufs = prepare_fused_level(r0, r1)
+    kern = np.asarray(fused_update_matrices(bufs, zero, interpret=True))
+    # The interpret-mode kernel body is jitted (FMA contraction), the eager
+    # emulation is not — identical sampling, float-noise-only differences.
+    np.testing.assert_allclose(kern, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("hw", [(64, 128), (72, 300), (200, 136), (128, 256)])
+def test_solve_kernel_matches_update_flow(hw):
+    """The windowed box+solve kernel mirrors _update_flow (replicate
+    border, symmetric-pair accumulation, 1e-3 regularization)."""
+    from opticalflowclustering_tpu.flow.farneback import _update_flow
+    from opticalflowclustering_tpu.kernels.warp import (
+        fused_m_planes,
+        fused_solve,
+        pad_flow_planes,
+        planes_to_flow,
     )
-    # interior is the exact identity; the last row/column clamp to the
-    # penultimate ones exactly like the XLA gather path (x1c ≤ W-2)
-    np.testing.assert_array_equal(out[:31, :126], r1[:31, :126])
-    np.testing.assert_array_equal(out[31], out[30])
-    np.testing.assert_array_equal(out[:, 127], out[:, 126])
+
+    r0, r1, flow = _rand_case(hw, 3.0, lead=(2,))
+    bufs = prepare_fused_level(r0, r1)
+    fx, fy = pad_flow_planes(bufs, flow)
+    mpad = fused_m_planes(bufs, fx, fy, interpret=True)
+    sx, sy = fused_solve(bufs, mpad, 15, interpret=True)
+    got = np.asarray(planes_to_flow(bufs, sx, sy))
+
+    m = np.asarray(update_matrices_gather(r0, r1, flow))
+    want = np.asarray(_update_flow(m, 15, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # Pad region stays identically zero (the invariant the kernels rely on).
+    assert not np.any(np.asarray(sx)[:, hw[0]:, :])
+    assert not np.any(np.asarray(sx)[:, :, hw[1]:])
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
-def test_pallas_mode_epe_on_real_frames():
+def test_fast_mode_epe_on_real_frames():
+    """End-to-end Farneback in warp_mode='fast' (XLA emulation on CPU —
+    bitwise-identical semantics to the TPU kernels) vs cv2 on real
+    reference footage."""
     d = f"{REF}/images/601_3_cropped_1_OF"
     names = sorted(n for n in os.listdir(d) if n.endswith(".png"))[:3]
     frames = [
         cv2.cvtColor(cv2.imread(os.path.join(d, n)), cv2.COLOR_BGR2GRAY)
         for n in names
     ]
-    params = FarnebackParams(warp_mode="pallas", warp_radius=16)
+    params = FarnebackParams(warp_mode="fast")
     jf = jax.jit(lambda a, b: farneback_flow(a, b, params))
     for i in range(len(frames) - 1):
         want = cv2.calcOpticalFlowFarneback(
