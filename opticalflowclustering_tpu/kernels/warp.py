@@ -1,47 +1,46 @@
 """Pallas TPU kernels: the Farneback inner loop (warp + M-build + solve).
 
-The warp of the 5-channel polynomial-coefficient tensor by the current flow
-is the pipeline's hottest op (the reference's cost center is
-`cv2.calcOpticalFlowFarneback`, `computeOpticalFlowModule.py:20-22`; in the
-TPU build ~85% of flow time went to this warp in round 1). XLA lowers the
-2D per-pixel gather to ~1 element/cycle scalar fetches, and the round-1
-select-warp (shifted-copy where-chains) kept all 2×radius intermediate
-steps in HBM. This module instead builds the whole solver iteration from
-three VMEM-resident kernels around the TPU's one vectorized gather
-primitive — the intra-vreg 128-lane dynamic gather
-(`jnp.take_along_axis(..., axis=-1)` on a [..., 128] tile):
+The bilinear warp of the 5-channel polynomial-coefficient tensor by the
+current flow is the pipeline's hottest op (the reference's cost center is
+`cv2.calcOpticalFlowFarneback`, `computeOpticalFlowModule.py:20-22`; ~85%
+of round-1 flow time). XLA lowers the per-pixel 2D gather to ~1
+element/cycle scalar fetches; separable two-pass schemes (round 1's
+select-warp, and a transposed-gather variant tried early in round 2) are
+fast but sample the vertical offset at the wrong column — measured 0.1–1 px
+EPE vs OpenCV at motion discontinuities on the committed real footage,
+failing the <0.1 px north star. This module implements the warp EXACTLY:
 
-  pass V — vertical sample. r1 is held TRANSPOSED ([B, 5, W, H]: y in
-           lanes, prepared once per pyramid level), so `r1[y1(y,x), x]` is
-           a lane gather. The y tile split (y1 lands in lane tile t-1, t,
-           or t+1 of the output's tile t) becomes three statically-shifted
-           block reads + a select. The result transposes back to row-major
-           inside the kernel (one XLU shuffle, no HBM round-trip).
-  pass H — horizontal sample of the vertically-interpolated field (x in
-           lanes, same tile split), FUSED with the full M-build
-           (out-of-bounds fallback, border taper, normal-equation
-           products). Writes M into a halo-padded buffer.
+  warp+M — one kernel per output tile. A windowed DMA stages ±R source
+           rows in VMEM; the kernel reduces the block's vertical
+           displacements to [o_lo, o_hi] (two reductions) and runs a
+           DYNAMIC candidate loop over only that range — flow is
+           box-smoothed, so blocks typically span a handful of rows, not
+           2R. Each candidate row is sampled horizontally at the pixel's
+           OWN x1 via the TPU's one vectorized gather primitive (the
+           intra-vreg 128-lane dynamic gather, `take_along_axis` on a
+           [..., 128] tile, tile-split over the ±1 lane tiles), then
+           selected into the output where floor(y+dy)-y matches. Both
+           indices and both bilinear fractions therefore come from the
+           output pixel itself — bit-faithful bilinear sampling, fused
+           directly into the M-build (out-of-bounds fallback, border
+           taper, normal-equation products).
   solve  — winsize×winsize box sum (replicate border, symmetric-pair
            accumulation like ops.filters.box_sum) + the regularized 2×2
            solve, reading its row/lane halos via one windowed DMA.
 
 Between kernels the flow lives as two padded planes fx, fy [B, Ht, Wt]
-(Ht/Wt = H/W rounded to 128) whose pad region is identically ZERO — the
+(Ht/Wt = H/W rounded up to 128) whose pad region is identically ZERO — the
 solve kernel re-masks it every iteration — so no pad/slice/transpose
 copies happen anywhere in the iteration loop.
 
-Accuracy contract (warp_mode='fast'): separable sampling — the vertical
-interpolation consumed at column x1 was computed with the flow at
-(y, x1), not (y, x). Deviation requires floor(y+dy) to differ between the
-two columns, i.e. |dx| large AND dy varying there — measured ~0 EPE vs
-OpenCV on real footage (tests/test_farneback.py). Displacements beyond the
-tile windows (|Δ| > 127 px per axis) take OpenCV's own out-of-image
-constant-motion fallback via the `inb` mask.
-
-`update_matrices_gather` is the pure-XLA emulation of the same sampling
-semantics (same index math, same window zeroing, same M-build op order) —
-it is the CPU-backend implementation of warp_mode='fast' and the oracle
-the kernels are tested against (tests/test_pallas_warp.py).
+Exactness contract: identical sampling to OpenCV's warp for every pixel
+with |floor(y+dy) − y| ≤ R (default 120) and |floor(x+dx) − x| ≤ 127;
+beyond that, OpenCV's own out-of-image constant-motion fallback applies
+(such displacements only occur at solver spikes on garbage data).
+`update_matrices_gather` is the pure-XLA implementation of the same
+semantics (exact gather + the same reach masks) — the CPU-backend path of
+warp_mode='fast' and the oracle the kernels are tested against
+(tests/test_pallas_warp.py).
 """
 
 from __future__ import annotations
@@ -55,9 +54,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_REACH = 127  # guaranteed per-axis displacement coverage of the 3-tile window
-_HB = 64  # pass-H row block; also the M buffer's row halo pad
+_REACH_X = 127  # horizontal displacement coverage of the 3-tile window
+_R = 119  # vertical candidate window half-size (R+1 ≡ 0 mod 8 required)
+_CHUNK = 32  # rows per candidate-range chunk (tight oy ranges)
 _SB = 128  # solve kernel row block
+
+
+def _super_rows(ht: int) -> int:
+    """Warp-kernel row block: one window DMA serves this many output rows
+    (several chunks), amortizing the ±R halo."""
+    for d in (512, 384, 256, 128):
+        if ht % d == 0:
+            return d
+    return _LANES
 
 
 def _ceil_to(a: int, m: int) -> int:
@@ -82,9 +91,9 @@ def _taper_ramp(pos: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _lane_gather3(blocks, idx):
-    """Gather `idx` (window-relative lane-dim index, [S, 128] int32) from
-    three 128-lane tiles `blocks` ([C, S, 128] each) covering absolute
-    tiles t-1, t, t+1 of an output at tile `t`. Out-of-window → 0.
+    """Gather `idx` (window-relative lane index, [S, 128] int32) from three
+    128-lane tiles `blocks` ([C, S, 128] each) covering lane tiles u-1, u,
+    u+1 of an output at tile `u`. Out-of-window → 0.
 
     Mosaic lowers only 2D gathers, so the [C, S, 128] tiles gather as
     [C*S, 128] (the intra-vreg dynamic-gather primitive)."""
@@ -101,90 +110,155 @@ def _lane_gather3(blocks, idx):
     return out
 
 
-def _pass_v_kernel(fy_ref, r1a_ref, r1b_ref, r1c_ref, out_ref, *, h):
-    """av[c, y, x] = r1[y1c(y,x), x]·(1-fy) + r1[y1c+1, x]·fy.
-
-    Works in transposed space (x sublanes, y lanes): the natural-layout dy
-    block transposes in, the result transposes back out — both in VMEM."""
-    t = pl.program_id(2)
-    f32 = jnp.float32
-    dy = jnp.swapaxes(fy_ref[0], 0, 1)  # [128 x, 128 y]
-    y = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1) + t * _LANES
-    gy = y.astype(f32) + dy
-    y1 = jnp.floor(gy)
-    fy = (gy - y1)[None]
-    y1c = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
-    blocks = (r1a_ref[0], r1b_ref[0], r1c_ref[0])  # [5, 128, 128] each
-    # Window-relative tile index: blocks cover absolute y tiles t-1, t, t+1.
-    rel0 = y1c - (t - 1) * _LANES
-    g0 = _lane_gather3(blocks, rel0)
-    g1 = _lane_gather3(blocks, rel0 + 1)
-    avt = g0 * (f32(1.0) - fy) + g1 * fy  # [5, x, y]
-    out_ref[0] = jnp.swapaxes(avt, -1, -2)
-
-
-def _pass_h_kernel(
-    fx_ref, fy_ref, r0_ref, ava_ref, avb_ref, avc_ref, out_ref, *, h, w
+def _warp_m_kernel(
+    fx_ref, fy_ref, r0_ref, r1_hbm, out_ref, scratch, acc_ref, sem,
+    *, h, w, sup
 ):
-    """M(r0, warp(av)) for one [5, HB, 128] tile: horizontal bilinear sample
-    of the vertically-interpolated field + fused M-build."""
+    """Exact warp + M-build for one [5, SUP, 128] block.
+
+    One windowed DMA stages rows [I·SUP − R − 1, I·SUP + SUP + R + 9) ×
+    lanes [u·128 − 128, u·128 + 256) of r1 in VMEM, amortizing the ±R halo
+    over SUP output rows. The block then processes _CHUNK-row chunks: each
+    chunk reduces ITS vertical displacements to [o_lo, o_hi] (flow is
+    box-smoothed, so a 32-row chunk spans a handful of candidate rows, not
+    2R) and loops o over 8-aligned candidate slabs (Mosaic's dynamic-slice
+    rule): candidate rows y+o sample horizontally at each pixel's OWN
+    x1/x1+1 (lane gathers) and land in the output rows whose
+    floor(y+dy) − y equals o (weight 1−fy) or o−1 (weight fy). Both
+    indices and both bilinear fractions come from the output pixel itself
+    — exact bilinear sampling."""
     from opticalflowclustering_tpu.flow.farneback import _m_build
 
     i = pl.program_id(1)
     u = pl.program_id(2)
     f32 = jnp.float32
-    dx = fx_ref[0]  # [HB, 128]
+    win_rows = sup + 2 * (_R + 1) + 8
+
+    copy = pltpu.make_async_copy(
+        r1_hbm.at[
+            pl.program_id(0),
+            :,
+            pl.ds(i * sup, win_rows),
+            pl.ds(u * _LANES, 3 * _LANES),
+        ],
+        scratch,
+        sem,
+    )
+    copy.start()
+
+    dx = fx_ref[0]  # [SUP, 128]
     dy = fy_ref[0]
-    y = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * _HB
+    y = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * sup
     x = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1) + u * _LANES
     gx = x.astype(f32) + dx
+    gy = y.astype(f32) + dy
     x1 = jnp.floor(gx)
+    y1 = jnp.floor(gy)
     fx = (gx - x1)[None]
+    fy = (gy - y1)[None]
     x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
     x1c = jnp.clip(x1i, 0, w - 2)
-    y1i = jnp.floor(y.astype(f32) + dy).astype(jnp.int32)
-
-    blocks = (ava_ref[0], avb_ref[0], avc_ref[0])  # [5, HB, 128] each
-    rel0 = x1c - (u - 1) * _LANES
-    g0 = _lane_gather3(blocks, rel0)
-    g1 = _lane_gather3(blocks, rel0 + 1)
-    r1w = g0 * (f32(1.0) - fx) + g1 * fx  # [5, HB, 128]
+    y1c = jnp.clip(y1i, 0, h - 2)
+    oy = jnp.clip(y1c - y, -_R, _R)
 
     inb = (
         (x1i >= 0)
         & (x1i <= w - 2)
         & (y1i >= 0)
         & (y1i <= h - 2)
-        & (jnp.abs(y1i - y) <= _REACH)
-        & (jnp.abs(x1i - x) <= _REACH)
+        & (jnp.abs(y1i - y) <= _R)
+        & (jnp.abs(x1i - x) <= _REACH_X)
     )
     taper = _taper_ramp(y, h) * _taper_ramp(x, w)
-    r0c = tuple(r0_ref[0, c] for c in range(5))
-    r1wc = tuple(r1w[c] for c in range(5))
-    m = _m_build(r0c, r1wc, dx, dy, inb, taper)
-    out_ref[0] = jnp.stack(m, axis=0)
+
+    copy.wait()
+
+    for c in range(sup // _CHUNK):
+        rows_sl = slice(c * _CHUNK, (c + 1) * _CHUNK)
+        oy_c = oy[rows_sl]
+        x1c_c = x1c[rows_sl]
+        fx_c = fx[:, rows_sl]
+        fy_c = fy[:, rows_sl]
+        o_lo = jnp.min(oy_c)
+        o_hi = jnp.max(oy_c)
+
+        def hgather(rows, x1c_c=x1c_c, fx_c=fx_c):
+            """rows: [5, CHUNK, 384] candidate row window; horizontal
+            bilinear sample at each pixel's own x1/x1+1."""
+            blocks = tuple(
+                rows[:, :, k * _LANES : (k + 1) * _LANES] for k in range(3)
+            )
+            rel0 = x1c_c - (u - 1) * _LANES
+            g0 = _lane_gather3(blocks, rel0)
+            g1 = _lane_gather3(blocks, rel0 + 1)
+            return g0 * (f32(1.0) - fx_c) + g1 * fx_c
+
+        acc_ref[...] = jnp.zeros((5, _CHUNK, _LANES), f32)
+
+        def body(q, carry, c=c, oy_c=oy_c, fy_c=fy_c, hgather=hgather,
+                 o_lo=o_lo, o_hi=o_hi):
+            # Candidate group q covers o ∈ [8q, 8q+7]; the slab's window
+            # row start 8q + (R+1) + c·CHUNK is 8-aligned. Dead candidates
+            # (outside [o_lo, o_hi+1]) are branch-skipped — the 8-group
+            # alignment costs no gathers.
+            slab = scratch[
+                :, pl.ds(q * 8 + _R + 1 + c * _CHUNK, _CHUNK + 8), :
+            ]
+            for s in range(8):
+                o = q * 8 + s
+
+                @pl.when((o >= o_lo) & (o <= o_hi + 1))
+                def _(o=o, s=s, slab=slab):
+                    hx = hgather(slab[:, s : s + _CHUNK, :])
+                    m0 = (oy_c == o)[None]
+                    m1 = (oy_c == o - 1)[None]
+                    acc_ref[...] = (
+                        acc_ref[...]
+                        + jnp.where(m0, hx * (f32(1.0) - fy_c), f32(0.0))
+                        + jnp.where(m1, hx * fy_c, f32(0.0))
+                    )
+
+            return carry
+
+        # Candidates needed: o ∈ [o_lo, o_hi + 1] (the +1 row carries fy).
+        jax.lax.fori_loop(o_lo >> 3, ((o_hi + 1) >> 3) + 1, body, 0)
+        r1w = acc_ref[...]
+
+        r0c = tuple(r0_ref[0, ch, rows_sl] for ch in range(5))
+        r1wc = tuple(r1w[ch] for ch in range(5))
+        m = _m_build(
+            r0c,
+            r1wc,
+            dx[rows_sl],
+            dy[rows_sl],
+            inb[rows_sl],
+            taper[rows_sl],
+        )
+        out_ref[0, :, rows_sl, :] = jnp.stack(m, axis=0)
 
 
 def _solve_kernel(
-    m_hbm, fx_ref, fy_ref, scratch, sem, *, h, w, lb, winsize
+    m_hbm, fx_ref, fy_ref, scratch, sem, *, h, w, lb, row0, lane0, winsize
 ):
     """Flow update for one [SB, LB] tile: winsize box sum of the 5-channel
     M (replicate border, symmetric-pair order like ops.filters.box_sum)
     and the 1e-3-regularized 2×2 solve. Reads its ±7-row/±7-col halo via
-    one windowed async copy from the halo-padded M buffer."""
+    one windowed async copy from the halo-padded M buffer (data origin at
+    row `row0`, lane `lane0`)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     u = pl.program_id(2)
     f32 = jnp.float32
     rad = winsize // 2
     # Window rows [i*SB - 8, i*SB + SB + 8), lanes [u*lb - 128, +lb + 128),
-    # both in-bounds thanks to the (HB=64, 128) pad of the M buffer.
+    # both in-bounds thanks to the one-block halo of the M buffer.
     copy = pltpu.make_async_copy(
         m_hbm.at[
             b,
             :,
-            pl.ds(_HB + i * _SB - 8, _SB + 16),
-            pl.ds(u * lb, lb + 2 * _LANES),
+            pl.ds(row0 + i * _SB - 8, _SB + 16),
+            pl.ds(lane0 + u * lb - _LANES, lb + 2 * _LANES),
         ],
         scratch,
         sem,
@@ -194,7 +268,7 @@ def _solve_kernel(
     wm = scratch[...]  # [5, SB+16, lb+256]
 
     # Vertical box with replicate clamping. Absolute row of window row j is
-    # i*SB - 8 + j; row 0 / row h-1 live at window positions 8 - i*SB and
+    # i*SB - 8 + j; rows 0 and h-1 live at window positions 8 - i*SB and
     # 8 + (h-1) - i*SB (clamped ds — the masks are false whenever the
     # position is actually out of window).
     yloc = jax.lax.broadcasted_iota(jnp.int32, (1, _SB, 1), 1) + i * _SB
@@ -244,11 +318,11 @@ def _solve_kernel(
 @dataclasses.dataclass(frozen=True)
 class FusedLevelBuffers:
     """Per-pyramid-level constants for the fused kernels, prepared once per
-    level and reused across the solver iterations (the transposes and pads
-    of r0/r1 are iteration-invariant)."""
+    level and reused across the solver iterations (the channel-first
+    transposes and halo pads of r0/r1 are iteration-invariant)."""
 
-    r0p: jnp.ndarray  # [B, 5, Ht, Wt]   channel-first, zero-padded
-    r1t: jnp.ndarray  # [B, 5, Wt, Ht + 256]  transposed, lane-tile padded
+    r0p: jnp.ndarray  # [B, 5, Ht, Wt]                 channel-first, zero-pad
+    r1p: jnp.ndarray  # [B, 5, R+1+Ht+R+1+HB, Wt+256]  row/lane halo-padded
     lead: tuple
     h: int
     w: int
@@ -276,11 +350,21 @@ def prepare_fused_level(r0: jnp.ndarray, r1: jnp.ndarray) -> FusedLevelBuffers:
     r0p = jnp.pad(r0f, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)))
 
     r1f = jnp.moveaxis(r1.reshape((b, h, w, 5)), -1, 1)
-    r1t = jnp.swapaxes(r1f, -1, -2)  # [B, 5, W, H]
-    r1t = jnp.pad(
-        r1t, ((0, 0), (0, 0), (0, wt - w), (_LANES, ht - h + _LANES))
+    # Row pad: R+1 above, enough below that the last row block's window
+    # (sup + 2(R+1) + 8 rows) stays in bounds; lane pad: one tile each
+    # side for the ±1-tile horizontal gather window. Zero-filled — every
+    # read beyond the clipped index range is select-masked.
+    below = (ht - h) + (_R + 1) + 8
+    r1p = jnp.pad(
+        r1f,
+        (
+            (0, 0),
+            (0, 0),
+            (_R + 1, below),
+            (_LANES, (wt - w) + _LANES),
+        ),
     )
-    return FusedLevelBuffers(r0p, r1t, lead, h, w)
+    return FusedLevelBuffers(r0p, r1p, lead, h, w)
 
 
 def zero_flow_planes(bufs: FusedLevelBuffers) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -315,69 +399,50 @@ def fused_m_planes(
     fy: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pass V + pass H: M in the halo-padded buffer
-    [B, 5, Ht + 2·HB, Wt + 256] (halo blocks uninitialized; every consumer
-    masks them). fx, fy: padded planes from fused_solve / pad_flow_planes."""
+    """Exact warp + M-build: M in the halo-padded buffer
+    [B, 5, Ht + 2·sup, Wt + 2·128] (one halo block per side, uninitialized;
+    every consumer masks them). fx, fy: padded planes."""
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = bufs.r0p.shape[0]
+    sup = _super_rows(ht)
 
-    r1spec = lambda k: pl.BlockSpec(  # noqa: E731
-        (1, 5, _LANES, _LANES),
-        lambda b_, i, t, k=k: (b_, 0, i, t + k),
-        memory_space=pltpu.VMEM,
-    )
-    av = pl.pallas_call(
-        functools.partial(_pass_v_kernel, h=h),
-        grid=(b, wt // _LANES, ht // _LANES),
-        in_specs=[
-            pl.BlockSpec(
-                (1, _LANES, _LANES), lambda b_, i, t: (b_, t, i),
-                memory_space=pltpu.VMEM,
-            ),
-            r1spec(0),
-            r1spec(1),
-            r1spec(2),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 5, _LANES, _LANES), lambda b_, i, t: (b_, 0, t, i + 1),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 5, ht, wt + 2 * _LANES), jnp.float32),
-        interpret=interpret,
-    )(fy, bufs.r1t, bufs.r1t, bufs.r1t)
-
-    avspec = lambda k: pl.BlockSpec(  # noqa: E731
-        (1, 5, _HB, _LANES),
-        lambda b_, i, u, k=k: (b_, 0, i, u + k),
-        memory_space=pltpu.VMEM,
-    )
     fspec = pl.BlockSpec(
-        (1, _HB, _LANES), lambda b_, i, u: (b_, i, u),
+        (1, sup, _LANES), lambda b_, i, u: (b_, i, u),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_pass_h_kernel, h=h, w=w),
-        grid=(b, ht // _HB, wt // _LANES),
+        functools.partial(_warp_m_kernel, h=h, w=w, sup=sup),
+        grid=(b, ht // sup, wt // _LANES),
         in_specs=[
             fspec,
             fspec,
             pl.BlockSpec(
-                (1, 5, _HB, _LANES), lambda b_, i, u: (b_, 0, i, u),
+                (1, 5, sup, _LANES), lambda b_, i, u: (b_, 0, i, u),
                 memory_space=pltpu.VMEM,
             ),
-            avspec(0),
-            avspec(1),
-            avspec(2),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 5, _HB, _LANES), lambda b_, i, u: (b_, 0, i + 1, u + 1),
+            (1, 5, sup, _LANES), lambda b_, i, u: (b_, 0, i + 1, u + 1),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, 5, ht + 2 * _HB, wt + 2 * _LANES), jnp.float32
+            (b, 5, ht + 2 * sup, wt + 2 * _LANES), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (5, sup + 2 * (_R + 1) + 8, 3 * _LANES), jnp.float32
+            ),
+            pltpu.VMEM((5, _CHUNK, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # The unrolled candidate slabs' scheduled temporaries exceed
+            # the 16MB default scoped-vmem cap; v5e VMEM is 128MB.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fx, fy, bufs.r0p, av, av, av)
+    )(fx, fy, bufs.r0p, bufs.r1p)
 
 
 def fused_solve(
@@ -392,11 +457,16 @@ def fused_solve(
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = mpad.shape[0]
     lb = 2 * _LANES if wt % (2 * _LANES) == 0 else _LANES
+    row0 = _super_rows(ht)  # the M buffer's row halo (fused_m_planes' sup)
+    lane0 = _LANES  # the M buffer's lane halo
     ospec = pl.BlockSpec(
         (1, _SB, lb), lambda b_, i, u: (b_, i, u), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_solve_kernel, h=h, w=w, lb=lb, winsize=winsize),
+        functools.partial(
+            _solve_kernel, h=h, w=w, lb=lb, row0=row0, lane0=lane0,
+            winsize=winsize,
+        ),
         grid=(b, ht // _SB, wt // lb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(ospec, ospec),
@@ -417,24 +487,26 @@ def fused_update_matrices(
 ) -> jnp.ndarray:
     """Channel-last convenience wrapper (tests / ad-hoc use): flow
     [..., H, W, 2] → M [..., H, W, 5]. The Farneback loop uses the padded
-    plane API (fused_m_planes / fused_solve) to avoid all pad/slice copies."""
+    plane API (fused_m_planes / fused_solve) to avoid all pad/slice
+    copies."""
     fx, fy = pad_flow_planes(bufs, flow)
     mpad = fused_m_planes(bufs, fx, fy, interpret=interpret)
-    m = mpad[:, :, _HB : _HB + bufs.h, _LANES : _LANES + bufs.w]
+    row0 = _super_rows(bufs.ht)
+    m = mpad[:, :, row0 : row0 + bufs.h, _LANES : _LANES + bufs.w]
     return jnp.moveaxis(m, 1, -1).reshape(bufs.lead + (bufs.h, bufs.w, 5))
 
 
 def update_matrices_gather(
     r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray
 ) -> jnp.ndarray:
-    """Pure-XLA emulation of the fused kernels — warp_mode='fast' on
-    non-TPU backends, and the oracle for the kernel tests.
-
-    Same separable sampling, same 3-tile window zeroing, same mask, same
-    M-build op order. r0, r1: [..., H, W, 5]; flow: [..., H, W, 2]."""
+    """Pure-XLA implementation of the kernels' exact semantics —
+    warp_mode='fast' on non-TPU backends, and the oracle for the kernel
+    tests: exact bilinear gather plus the kernels' reach masks.
+    r0, r1: [..., H, W, 5]; flow: [..., H, W, 2]."""
     from opticalflowclustering_tpu.flow.farneback import (
         _border_taper,
         _m_build,
+        _warp_gather,
     )
 
     f32 = jnp.float32
@@ -454,33 +526,15 @@ def update_matrices_gather(
     x1c = jnp.clip(x1i, 0, w - 2)
     y1c = jnp.clip(y1i, 0, h - 2)
 
-    def vsample(idx):
-        g = jnp.take_along_axis(
-            r1, jnp.broadcast_to(idx[..., None], r1.shape[:-3] + (h, w, 5)),
-            axis=-3,
-        )
-        inwin = jnp.abs((idx >> 7) - (ys >> 7)) <= 1
-        return jnp.where(inwin[..., None], g, f32(0.0))
-
-    av = vsample(y1c) * (1 - fy)[..., None] + vsample(y1c + 1) * fy[..., None]
-
-    def hsample(idx):
-        g = jnp.take_along_axis(
-            av, jnp.broadcast_to(idx[..., None], av.shape[:-3] + (h, w, 5)),
-            axis=-2,
-        )
-        inwin = jnp.abs((idx >> 7) - (xs >> 7)) <= 1
-        return jnp.where(inwin[..., None], g, f32(0.0))
-
-    r1w = hsample(x1c) * (1 - fx)[..., None] + hsample(x1c + 1) * fx[..., None]
+    r1w = _warp_gather(r1, y1c, x1c, fx, fy)
 
     inb = (
         (x1i >= 0)
         & (x1i <= w - 2)
         & (y1i >= 0)
         & (y1i <= h - 2)
-        & (jnp.abs(y1i - ys) <= _REACH)
-        & (jnp.abs(x1i - xs) <= _REACH)
+        & (jnp.abs(y1i - ys) <= _R)
+        & (jnp.abs(x1i - xs) <= _REACH_X)
     )
     taper = jnp.asarray(_border_taper(h, w))
     r0c = tuple(r0[..., c] for c in range(5))

@@ -1,7 +1,7 @@
-"""Fused Pallas warp+M kernels (warp_mode='fast'): interpret-mode bitwise
-parity against the XLA emulation, semantic closeness to the exact gather
-path on smooth flows, and end-to-end Farneback EPE vs cv2 on real frames.
-The TPU path compiles the same kernel program the interpreter executes."""
+"""Fused Pallas warp+M+solve kernels (warp_mode='fast'): interpret-mode
+parity against the XLA oracle, exactness vs the exact-gather path, and
+end-to-end Farneback EPE vs cv2 on real high-motion frames. The TPU path
+compiles the same kernel programs the interpreter executes."""
 
 import os
 
@@ -34,14 +34,25 @@ def _rand_case(shape_hw, sigma, lead=()):
     return r0, r1, flow
 
 
+def test_gather_semantics_equal_exact_within_reach():
+    """'fast' is EXACT: for displacements within the kernels' reach the
+    XLA oracle is bitwise the exact-gather path (only the spike masks
+    differ, and they never trigger at these magnitudes)."""
+    for hw, sigma in [((64, 128), 3.0), ((200, 264), 12.0)]:
+        r0, r1, flow = _rand_case(hw, sigma)
+        want = np.asarray(update_matrices(r0, r1, flow, "exact"))
+        got = np.asarray(update_matrices_gather(r0, r1, flow))
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize(
     "hw,sigma",
     [((64, 128), 3.0), ((40, 100), 2.0), ((72, 300), 60.0), ((200, 136), 8.0)],
 )
-def test_kernel_matches_emulation(hw, sigma):
-    """The interpret-mode kernels and the pure-XLA emulation implement the
-    same index math, window zeroing, and M-build op order; only FMA
-    contraction differs between the two compiled programs."""
+def test_kernel_matches_oracle(hw, sigma):
+    """The interpret-mode kernel and the XLA oracle implement the same
+    sampling, masks, and M-build op order; only FMA contraction differs
+    between the two compiled programs."""
     r0, r1, flow = _rand_case(hw, sigma)
     bufs = prepare_fused_level(r0, r1)
     got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
@@ -51,8 +62,8 @@ def test_kernel_matches_emulation(hw, sigma):
 
 def test_kernel_bitwise_on_integer_exact_case():
     """With integer-valued coefficients and integer flow every operation is
-    exact in f32, so kernel vs emulation must agree BITWISE — any sampling,
-    tile-window, or mask discrepancy would surface here."""
+    exact in f32, so kernel vs oracle must agree BITWISE — any sampling,
+    window, or mask discrepancy would surface here."""
     h, w = 72, 300
     r0 = RNG.integers(-8, 8, (h, w, 5)).astype(np.float32)
     r1 = RNG.integers(-8, 8, (h, w, 5)).astype(np.float32)
@@ -66,7 +77,7 @@ def test_kernel_bitwise_on_integer_exact_case():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_kernel_matches_emulation_batched():
+def test_kernel_matches_oracle_batched():
     r0, r1, flow = _rand_case((48, 160), 4.0, lead=(2, 3))
     bufs = prepare_fused_level(r0, r1)
     got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
@@ -75,24 +86,7 @@ def test_kernel_matches_emulation_batched():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_fast_semantics_vs_exact_on_smooth_flow():
-    """Where dy is horizontally constant over the |dx| span (any smooth
-    flow), the separable 'fast' sampling equals the exact 2D gather, so the
-    resulting M tensors agree to float noise."""
-    h, w = 96, 256
-    r0, r1, _ = _rand_case((h, w), 0)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    flow = np.stack(
-        [3.7 * np.sin(yy / 31.0), 2.3 * np.cos(yy / 23.0)], axis=-1
-    ).astype(np.float32)
-    want = np.asarray(update_matrices(r1=r1, r0=r0, flow=flow, warp_mode="exact"))
-    got = np.asarray(update_matrices_gather(r0, r1, flow))
-    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
-
-
 def test_identity_flow_is_identity_warp():
-    """Zero flow: M built from r1 warped by nothing must equal the exact
-    path bitwise (gather indices are the identity)."""
     r0, r1, _ = _rand_case((32, 128), 0)
     zero = np.zeros((32, 128, 2), np.float32)
     want = np.asarray(update_matrices(r0, r1, zero, warp_mode="exact"))
@@ -101,7 +95,7 @@ def test_identity_flow_is_identity_warp():
     bufs = prepare_fused_level(r0, r1)
     kern = np.asarray(fused_update_matrices(bufs, zero, interpret=True))
     # The interpret-mode kernel body is jitted (FMA contraction), the eager
-    # emulation is not — identical sampling, float-noise-only differences.
+    # oracle is not — identical sampling, float-noise-only differences.
     np.testing.assert_allclose(kern, want, rtol=1e-4, atol=1e-3)
 
 
@@ -133,12 +127,13 @@ def test_solve_kernel_matches_update_flow(hw):
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
-def test_fast_mode_epe_on_real_frames():
-    """End-to-end Farneback in warp_mode='fast' (XLA emulation on CPU —
-    bitwise-identical semantics to the TPU kernels) vs cv2 on real
-    reference footage."""
-    d = f"{REF}/images/601_3_cropped_1_OF"
-    names = sorted(n for n in os.listdir(d) if n.endswith(".png"))[:3]
+def test_fast_mode_epe_on_real_high_motion_frames():
+    """End-to-end Farneback in warp_mode='fast' (XLA oracle on CPU —
+    identical semantics to the TPU kernels) vs cv2 on real reference
+    footage, over pairs with up to ~30 px/frame motion — the regime where
+    separable warps fail (round-2 measurement: 0.1–1.0 px EPE)."""
+    d = f"{REF}/images/601_3_cropped_3_OF"
+    names = sorted(n for n in os.listdir(d) if n.endswith(".png"))[48:54]
     frames = [
         cv2.cvtColor(cv2.imread(os.path.join(d, n)), cv2.COLOR_BGR2GRAY)
         for n in names
@@ -151,4 +146,4 @@ def test_fast_mode_epe_on_real_frames():
         )
         got = np.asarray(jf(frames[i], frames[i + 1]))
         epe = np.sqrt(((got - want) ** 2).sum(-1))
-        assert epe.mean() < 1e-3, epe.mean()
+        assert epe.mean() < 1e-3, (i, epe.mean())
