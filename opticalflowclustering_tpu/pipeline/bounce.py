@@ -104,6 +104,38 @@ def chunk_step(frames_chunk, cfg: PipelineConfig):
 _chunk_step = functools.partial(jax.jit, static_argnames=("cfg",))(chunk_step)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _video_step(chunks, cfg: PipelineConfig):
+    """Whole-video pipeline as ONE device program: lax.scan of chunk_step
+    over stacked chunks [K, C+1, H, W, 3]. One dispatch per video instead
+    of one per chunk — on remote/tunneled runtimes each dispatch costs
+    ~30 ms, which at chunk=8 would be ~4 ms/pair of pure overhead."""
+
+    def step(carry, chunk):
+        return carry, chunk_step(chunk, cfg)
+
+    _, outs = jax.lax.scan(step, 0, chunks)
+    return outs
+
+
+def _stack_chunks(frames_bgr: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
+    """[N,H,W,3] → overlapping chunk stack [K, chunk+1, H, W, 3] (each
+    chunk shares its first frame with the previous chunk's last; the tail
+    pads by repeating the final frame)."""
+    n_pairs = frames_bgr.shape[0] - 1
+    k = -(-n_pairs // chunk)
+    chunks = np.empty(
+        (k, chunk + 1) + frames_bgr.shape[1:], frames_bgr.dtype
+    )
+    for j in range(k):
+        start = j * chunk
+        stop = min(start + chunk, n_pairs)
+        c = frames_bgr[start : stop + 1]
+        chunks[j, : c.shape[0]] = c
+        chunks[j, c.shape[0] :] = c[-1:]
+    return chunks, n_pairs
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "rb_swap"))
 def grid_cluster_stage(flow_bgr, grid: GridParams, rb_swap: bool):
     """Grid pooling + dominant hue for pre-rendered (possibly host-edited)
@@ -134,6 +166,15 @@ def process_frames(
     n = frames_bgr.shape[0]
     if n < 2:
         raise ValueError("need at least 2 frames")
+
+    if overlays is None:
+        # Single-dispatch path: scan over chunks on device.
+        chunks, n_pairs = _stack_chunks(frames_bgr, cfg.chunk)
+        out = _video_step(jax.device_put(chunks), cfg)
+        return {
+            k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n_pairs]
+            for k, v in out.items()
+        }
 
     outs: list[dict[str, np.ndarray]] = []
     c = cfg.chunk
