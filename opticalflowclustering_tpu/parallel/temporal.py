@@ -109,3 +109,73 @@ def sharded_hue_pipeline(
         return hue, rgb_hue, mean_mag
 
     return step(frames)
+
+
+def sharded_hue_pipeline_videos(
+    videos: jnp.ndarray,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+    grid: GridParams = GridParams(),
+    params: FarnebackParams = FarnebackParams(),
+    rb_swap: bool = True,
+):
+    """dp×sp-sharded flagship pipeline over a BATCH of videos
+    [B, N, H, W, 3]u8: videos sharded across `dp_axis`, each video's frame
+    axis across `sp_axis` (1-frame ring halo over ICI). Returns
+    (hue [B, N, cells], rgb_hue [B, N, cells], mean_mag [B, N]); row N-1 of
+    each video is the wrapped junk pair (last frame against frame 0) —
+    valid data is [:, :N-1]. Beyond the halo exchange everything is chip-
+    local; bitwise equal to the unsharded pipeline on any mesh shape
+    (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(dp_axis, sp_axis),
+        out_specs=(
+            P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis),
+        ),
+    )
+    def step(videos_local):  # [b_loc, n_loc, H, W, 3]
+        gray = bgr2gray(videos_local)
+        n_dev = jax.lax.axis_size(sp_axis)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        recv = jax.lax.ppermute(gray[:, :1], sp_axis, perm)
+        gray_ext = jnp.concatenate([gray, recv], axis=1)
+        flow = farneback_flow(gray_ext[:, :-1], gray_ext[:, 1:], params)
+        mag = magnitude(flow[..., 0], flow[..., 1])
+        mean_mag = jnp.mean(mag, axis=(-2, -1))
+        flow_bgr = render_flow_hsv_bgr(flow)
+        cells = extract_cells(flow_bgr, grid)
+        cells = whiten_grid_lines(cells, grid, own_rectangle=True)
+        rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
+        _, hue = dominant_hue_k1(rgba)
+        rgb_hue = grid_mean_hue(flow_bgr, grid)
+        return hue, rgb_hue, mean_mag
+
+    return step(videos)
+
+
+def unsharded_hue_pipeline_videos(
+    videos: jnp.ndarray,
+    grid: GridParams = GridParams(),
+    params: FarnebackParams = FarnebackParams(),
+    rb_swap: bool = True,
+):
+    """Single-device emulation of sharded_hue_pipeline_videos (same ops,
+    same ring wrap) — the bitwise oracle for mesh-invariance checks."""
+    gray = bgr2gray(videos)
+    gray_ext = jnp.concatenate([gray, gray[:, :1]], axis=1)
+    flow = farneback_flow(gray_ext[:, :-1], gray_ext[:, 1:], params)
+    mag = magnitude(flow[..., 0], flow[..., 1])
+    mean_mag = jnp.mean(mag, axis=(-2, -1))
+    flow_bgr = render_flow_hsv_bgr(flow)
+    cells = extract_cells(flow_bgr, grid)
+    cells = whiten_grid_lines(cells, grid, own_rectangle=True)
+    rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
+    _, hue = dominant_hue_k1(rgba)
+    rgb_hue = grid_mean_hue(flow_bgr, grid)
+    return hue, rgb_hue, mean_mag

@@ -41,6 +41,24 @@ def test_sharded_pipeline_mesh_invariant(n_dev):
     )
 
 
+@pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_video_batch_pipeline_mesh_invariant(dp, sp):
+    """dp×sp flagship pipeline over a video batch is bitwise equal to the
+    unsharded emulation on every mesh shape."""
+    from opticalflowclustering_tpu.parallel.temporal import (
+        sharded_hue_pipeline_videos,
+        unsharded_hue_pipeline_videos,
+    )
+
+    vids = RNG.integers(0, 256, size=(4, 8, 40, 64, 3), dtype=np.uint8)
+    mesh = make_mesh({"dp": dp, "sp": sp})
+    grid = GridParams(4, 6)
+    sharded = sharded_hue_pipeline_videos(vids, mesh, grid=grid)
+    local = unsharded_hue_pipeline_videos(vids, grid=grid)
+    for s, l in zip(sharded, local):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(l))
+
+
 def test_temporal_shard_flow_matches_batched():
     from opticalflowclustering_tpu.flow.farneback import farneback_flow_batched
     from opticalflowclustering_tpu.ops.colorspace import bgr2gray
