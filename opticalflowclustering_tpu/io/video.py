@@ -9,6 +9,9 @@ reference's MJPG fourcc (`computeOpticalFlow.py:27-33`).
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
 
 
@@ -30,8 +33,20 @@ def is_lfs_pointer(path: str) -> bool:
     return head == _LFS_POINTER_MAGIC
 
 
-def read_video_bgr(path: str, max_frames: int | None = None) -> np.ndarray:
-    """Decode a video file → [N, H, W, 3] uint8 BGR frames."""
+def read_video_bgr(
+    path: str, max_frames: int | None = None, native: bool = False
+) -> np.ndarray:
+    """Decode a video file → [N, H, W, 3] uint8 BGR frames.
+
+    native=True routes MJPEG-AVI files through the C++ threaded decoder
+    (io/fastio.py) — faster batch decode, but JPEG chroma-upsample/IDCT
+    rounding differs from cv2 by a couple of codes (|Δ|≤5, mean <1), so
+    golden-parity paths keep the default cv2 decode."""
+    if native:
+        from opticalflowclustering_tpu.io import fastio
+
+        if fastio.is_mjpeg_avi(path) and fastio.available():
+            return fastio.decode_mjpeg_avi(path, max_frames)
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -58,6 +73,139 @@ def video_fps(path: str) -> float:
     fps = cap.get(cv2.CAP_PROP_FPS)
     cap.release()
     return float(fps) if fps and fps > 0 else 30.0
+
+
+def stream_video_chunks(
+    path: str,
+    chunk: int,
+    overlap: int = 1,
+    max_frames: int | None = None,
+    prefetch: int = 2,
+):
+    """Yield [chunk+overlap, H, W, 3] uint8 batches decoded by a background
+    thread, so host decode overlaps device compute (the reference decodes
+    synchronously inside its hot loop, `KmeanGrids.py:180-185`; here the
+    next chunk demuxes while the device crunches the current one).
+
+    Consecutive chunks share `overlap` trailing frames (flow needs the
+    previous frame). The final chunk is zero-padded to the fixed shape and
+    yielded as (batch, n_valid); earlier chunks yield n_valid == chunk.
+    A decode error surfaces on the consumer side as the raised exception.
+    """
+    import cv2
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        cap = cv2.VideoCapture(path)
+        try:
+            if not cap.isOpened():
+                raise FileNotFoundError(f"cannot open video: {path}")
+            carry: list[np.ndarray] = []
+            decoded = 0
+            eof = False
+            while not eof and not stop.is_set():
+                frames = list(carry)
+                while len(frames) < chunk + overlap:
+                    if max_frames is not None and decoded >= max_frames:
+                        eof = True
+                        break
+                    ret, frame = cap.read()
+                    if not ret:
+                        eof = True
+                        break
+                    decoded += 1
+                    frames.append(frame)
+                n_valid = max(0, len(frames) - overlap)
+                if n_valid == 0:
+                    break
+                batch = np.zeros(
+                    (chunk + overlap,) + frames[0].shape, np.uint8
+                )
+                batch[: len(frames)] = np.stack(frames)
+                q.put((batch, n_valid))
+                carry = frames[chunk:]
+            q.put(None)
+        except BaseException as e:  # surface on the consumer side
+            q.put(e)
+        finally:
+            cap.release()
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the worker can exit its q.put
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
+class VideoStream:
+    """Threaded frame source, the imutils.video.VideoStream analogue the
+    real-time demo builds on (`real-time-object-detection-with-deep-learning
+    -and-opencv/real_time_object_detection.py:29`): a daemon thread reads
+    frames as fast as the source produces them and `read()` returns the
+    latest one. `src` is a camera index or a video path (files are paced at
+    their native fps so they behave like a live source)."""
+
+    def __init__(self, src: int | str = 0, paced: bool | None = None):
+        import cv2
+
+        self._cap = cv2.VideoCapture(src)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(f"cannot open stream source: {src}")
+        self._paced = (
+            paced if paced is not None else isinstance(src, str)
+        )
+        self._fps = self._cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self._frame: np.ndarray | None = None
+        self._stopped = threading.Event()
+        self._ready = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> "VideoStream":
+        self._thread.start()
+        return self
+
+    def _loop(self):
+        import time
+
+        interval = 1.0 / max(self._fps, 1e-3)
+        while not self._stopped.is_set():
+            t0 = time.time()
+            ret, frame = self._cap.read()
+            if not ret:
+                self._stopped.set()
+                break
+            self._frame = frame
+            self._ready.set()
+            if self._paced:
+                time.sleep(max(0.0, interval - (time.time() - t0)))
+        self._cap.release()
+
+    def read(self, timeout: float = 5.0) -> np.ndarray | None:
+        """Latest frame, or None once the source is exhausted."""
+        if self._frame is None and not self._stopped.is_set():
+            self._ready.wait(timeout)
+        return None if self._frame is None else self._frame
+
+    def running(self) -> bool:
+        return not self._stopped.is_set()
+
+    def stop(self):
+        self._stopped.set()
 
 
 def write_video_mjpg(path: str, frames: np.ndarray, fps: float) -> None:

@@ -1,0 +1,81 @@
+"""C++ host-IO runtime (native/fastio.cpp via io/fastio.py): threaded PNG
+batch decode must be bit-identical to cv2.imread on the real reference
+crops; the MJPEG-AVI decoder must match cv2.VideoCapture within JPEG IDCT
+rounding (±3, two libjpeg builds)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from opticalflowclustering_tpu.io import fastio
+from opticalflowclustering_tpu.io.video import read_video_bgr, write_video_mjpg
+
+NEG_DIR = "/root/reference/k-means-color-clustering/Non-bounce/NoBounce_1"
+
+pytestmark = pytest.mark.skipif(
+    not fastio.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.mark.skipif(not os.path.isdir(NEG_DIR), reason="reference not mounted")
+def test_png_batch_bitexact_vs_cv2():
+    import cv2
+
+    paths = sorted(glob.glob(os.path.join(NEG_DIR, "*.png")))[:32]
+    got = fastio.decode_png_batch(paths, 50, 50)
+    want = np.stack([cv2.imread(p) for p in paths])
+    assert np.array_equal(got, want)
+
+
+def test_png_batch_shape_mismatch_raises(tmp_path):
+    import cv2
+
+    p = str(tmp_path / "odd.png")
+    cv2.imwrite(p, np.zeros((10, 12, 3), np.uint8))
+    with pytest.raises(ValueError):
+        fastio.decode_png_batch([p], 50, 50)
+
+
+def test_mjpeg_avi_decode_matches_cv2(tmp_path):
+    # video-like smooth content (noise frames over-stress JPEG quantization
+    # and say nothing about the decoder)
+    yy, xx = np.mgrid[0:64, 0:80].astype(np.float32)
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    127.5 + 120 * np.sin(yy / 9 + i / 3),
+                    127.5 + 120 * np.sin(xx / 11 + i / 2),
+                    127.5 + 120 * np.sin((xx + yy) / 13 + i),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(9)
+        ]
+    )
+    path = str(tmp_path / "clip.avi")
+    write_video_mjpg(path, frames, 30.0)
+    want = read_video_bgr(path)
+    got = fastio.decode_mjpeg_avi(path)
+    assert got.shape == want.shape
+    d = np.abs(got.astype(int) - want.astype(int))
+    # JPEG decode is not bit-specified: two libjpeg builds legitimately
+    # differ by a couple of codes in chroma upsampling/IDCT rounding.
+    assert d.max() <= 5 and d.mean() < 1.0, (d.max(), d.mean())
+    # the opt-in route through read_video_bgr
+    via = read_video_bgr(path, native=True)
+    assert np.array_equal(via, got)
+    # max_frames honored
+    assert fastio.decode_mjpeg_avi(path, max_frames=4).shape[0] == 4
+
+
+def test_mjpeg_probe_and_sniff(tmp_path):
+    frames = np.zeros((3, 32, 32, 3), np.uint8)
+    path = str(tmp_path / "c.avi")
+    write_video_mjpg(path, frames, 30.0)
+    assert fastio.is_mjpeg_avi(path)
+    assert not fastio.is_mjpeg_avi(__file__)
