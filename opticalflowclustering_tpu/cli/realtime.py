@@ -39,6 +39,15 @@ def main(argv=None):
 
     src = int(args.source) if args.source.isdigit() else args.source
     params = load_params()
+    # compile the detector before the stream starts ticking, like the
+    # demo's model load happens before VideoStream(...).start()
+    probe = cv2.VideoCapture(src)
+    ok, first = probe.read()
+    probe.release()
+    if not ok:
+        raise SystemExit(f"cannot read from {args.source}")
+    detect_windows(params, np.zeros_like(first), stride=args.stride,
+                   confidence=args.confidence)
     vs = VideoStream(src).start()  # `real_time_object_detection.py:29`
     fps = ThroughputMeter().start()  # `:31`
     annotated = []

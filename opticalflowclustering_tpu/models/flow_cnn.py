@@ -9,12 +9,13 @@ observable capability the demos show — top-k class probabilities
 (`deep_learning_with_opencv.py:29-33`) and confidence-filtered boxes
 (`deep_learning_object_detection.py:28-38`) — from a compact flax ConvNet
 *trained end-to-end on the real labeled footage committed in the reference
-tree*:
+tree* — the 50×50 flow-rendered cells that contain motion (mean > 2; most
+cells of both sources are black/static and carry no class signal):
 
   class "bounce-clip flow"  — `k-means-color-clustering/images/601_3_50x50/`
-                              (11,586 real 50×50 flow-rendered crops)
+                              (the bounce clip's motion cells, ~800)
   class "no-bounce flow"    — `k-means-color-clustering/Non-bounce/
-                              NoBounce_{1,2}/` (1,000 crops each)
+                              NoBounce_{1,2}/` (~590 motion cells)
 
 Training is one jitted scan of SGD steps (deterministic: seeded PRNG,
 fixed shuffle), so the committed weights are reproducible bit-for-bit with
@@ -50,11 +51,13 @@ class FlowCellNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, 50, 50, 3] f32
         x = x * jnp.float32(1.0 / 255.0) - jnp.float32(0.5)
-        for feat in (16, 32, 64):
+        for feat in (24, 48, 96):
             x = nn.Conv(feat, (3, 3), strides=(2, 2))(x)
             x = nn.relu(x)
+            x = nn.Conv(feat, (3, 3))(x)
+            x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(64)(x)
+        x = nn.Dense(128)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_classes)(x)
 
@@ -67,23 +70,26 @@ class FlowCellNet(nn.Module):
 def train_flow_cnn(
     images: np.ndarray,
     labels: np.ndarray,
-    epochs: int = 3,
-    batch: int = 256,
-    lr: float = 1e-3,
+    epochs: int = 120,
+    batch: int = 64,
+    lr: float = 3e-3,
     seed: int = 0,
 ):
     """Train FlowCellNet on [N,50,50,3] uint8 BGR crops + int labels.
 
-    Returns (params, final_train_accuracy). One jitted lax.scan over all
-    steps; the shuffle order comes from the seeded PRNG so retraining
-    reproduces the committed weights exactly."""
+    Returns (params, final_train_accuracy). One jitted lax.scan per epoch
+    with horizontal-flip augmentation; shuffle, flips and the cosine LR
+    schedule all come from the seeded PRNG, so retraining reproduces the
+    committed weights exactly."""
     model = FlowCellNet()
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((1, 50, 50, 3), jnp.float32))
-    tx = optax.adam(lr)
+    steps_per_epoch = len(images) // batch
+    sched = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
+    tx = optax.adam(sched)
     opt_state = tx.init(params)
 
-    n = (len(images) // batch) * batch
+    n = steps_per_epoch * batch
     rng = np.random.default_rng(seed)
 
     def loss_fn(p, xb, yb):
@@ -95,27 +101,32 @@ def train_flow_cnn(
         return loss, acc
 
     @jax.jit
-    def epoch_fn(params, opt_state, xs, ys):
+    def epoch_fn(params, opt_state, xs, ys, ekey):
         def step(carry, b):
-            p, s = carry
+            p, s, k = carry
+            k, sub = jax.random.split(k)
+            xb = b[0].astype(jnp.float32)
+            flip = jax.random.bernoulli(sub, 0.5, (xb.shape[0], 1, 1, 1))
+            xb = jnp.where(flip, xb[:, :, ::-1], xb)
             (loss, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, b[0].astype(jnp.float32), b[1]
+                p, xb, b[1]
             )
             updates, s = tx.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), acc
+            return (optax.apply_updates(p, updates), s, k), acc
 
-        (params, opt_state), accs = jax.lax.scan(
-            step, (params, opt_state), (xs, ys)
+        (params, opt_state, _), accs = jax.lax.scan(
+            step, (params, opt_state, ekey), (xs, ys)
         )
         return params, opt_state, accs.mean()
 
     acc = 0.0
-    for _ in range(epochs):
+    for e in range(epochs):
         order = rng.permutation(len(images))[:n]
         xs = images[order].reshape(-1, batch, 50, 50, 3)
         ys = labels[order].reshape(-1, batch)
         params, opt_state, acc = epoch_fn(
-            params, opt_state, jnp.asarray(xs), jnp.asarray(ys)
+            params, opt_state, jnp.asarray(xs), jnp.asarray(ys),
+            jax.random.PRNGKey(seed * 1000 + e),
         )
     return params, float(acc)
 

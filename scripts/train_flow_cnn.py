@@ -1,13 +1,19 @@
 """Train FlowCellNet on the reference tree's real labeled footage and write
 the committed weights (opticalflowclustering_tpu/models/flow_cnn_weights.npz).
 
-Deterministic: seeded PRNG + fixed shuffle, so re-running reproduces the
-committed npz. Data (all real flow-rendered 50×50 crops):
+Data: 50×50 flow-rendered cells that actually contain motion (mean
+intensity > 2 — most grid cells of both sources are black/static and say
+nothing about either class):
 
   label 1  k-means-color-clustering/images/601_3_50x50/   (bounce clip)
   label 0  k-means-color-clustering/Non-bounce/NoBounce_{1,2}/
 
-Usage: python scripts/train_flow_cnn.py [--ref /root/reference] [--cap 4000]
+Deterministic: seeded PRNG + fixed shuffle + a fixed holdout rule (every
+7th motion crop per directory, by sorted order — tests/test_flow_cnn.py
+evaluates on exactly that slice), so re-running reproduces the committed
+npz.
+
+Usage: python scripts/train_flow_cnn.py [--ref /root/reference]
 """
 
 from __future__ import annotations
@@ -20,57 +26,74 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+HOLDOUT_STRIDE = 7
+MOTION_MEAN = 2.0
 
-def load_dir(d: str, cap: int) -> np.ndarray:
+
+def load_motion_crops(d: str) -> tuple[np.ndarray, np.ndarray]:
+    """(train, holdout) stacks of the directory's motion crops."""
     import cv2
 
-    names = sorted(os.listdir(d))[:cap]
-    out = []
-    for n in names:
+    train, hold = [], []
+    kept = 0
+    for n in sorted(os.listdir(d)):
         im = cv2.imread(os.path.join(d, n))
-        if im is not None and im.shape == (50, 50, 3):
-            out.append(im)
-    return np.stack(out)
+        if im is None or im.shape != (50, 50, 3) or im.mean() <= MOTION_MEAN:
+            continue
+        (hold if kept % HOLDOUT_STRIDE == 0 else train).append(im)
+        kept += 1
+    return np.stack(train), np.stack(hold)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
-    ap.add_argument("--cap", type=int, default=4000, help="max crops/class dir")
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--holdout", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
 
     from opticalflowclustering_tpu.models.flow_cnn import (
+        classify_cells,
         save_params,
         train_flow_cnn,
     )
 
     kdir = os.path.join(args.ref, "k-means-color-clustering")
-    pos = load_dir(os.path.join(kdir, "images", "601_3_50x50"), args.cap)
-    neg = np.concatenate(
+    pos_tr, pos_ho = load_motion_crops(
+        os.path.join(kdir, "images", "601_3_50x50")
+    )
+    neg1_tr, neg1_ho = load_motion_crops(
+        os.path.join(kdir, "Non-bounce", "NoBounce_1")
+    )
+    neg2_tr, neg2_ho = load_motion_crops(
+        os.path.join(kdir, "Non-bounce", "NoBounce_2")
+    )
+    tr_x = np.concatenate([pos_tr, neg1_tr, neg2_tr])
+    tr_y = np.concatenate(
         [
-            load_dir(os.path.join(kdir, "Non-bounce", "NoBounce_1"), args.cap),
-            load_dir(os.path.join(kdir, "Non-bounce", "NoBounce_2"), args.cap),
+            np.ones(len(pos_tr), np.int32),
+            np.zeros(len(neg1_tr) + len(neg2_tr), np.int32),
         ]
     )
-    images = np.concatenate([pos, neg])
-    labels = np.concatenate(
-        [np.ones(len(pos), np.int32), np.zeros(len(neg), np.int32)]
+    ho_x = np.concatenate([pos_ho, neg1_ho, neg2_ho])
+    ho_y = np.concatenate(
+        [
+            np.ones(len(pos_ho), np.int32),
+            np.zeros(len(neg1_ho) + len(neg2_ho), np.int32),
+        ]
     )
-    rng = np.random.default_rng(1234)
-    order = rng.permutation(len(images))
-    images, labels = images[order], labels[order]
-    ho_x, ho_y = images[: args.holdout], labels[: args.holdout]
-    tr_x, tr_y = images[args.holdout :], labels[args.holdout :]
-    print(f"train {len(tr_x)} (pos {tr_y.sum()}), holdout {len(ho_x)}")
+    print(f"train {len(tr_x)} (pos {tr_y.sum()}), holdout {len(ho_x)} "
+          f"(pos {ho_y.sum()})")
 
-    params, train_acc = train_flow_cnn(tr_x, tr_y, epochs=args.epochs)
-    from opticalflowclustering_tpu.models.flow_cnn import classify_cells
-
+    params, train_acc = train_flow_cnn(
+        tr_x, tr_y, epochs=args.epochs, batch=args.batch
+    )
     preds = classify_cells(params, ho_x).argmax(-1)
     ho_acc = float((preds == ho_y).mean())
-    print(f"final-epoch train acc {train_acc:.4f}, holdout acc {ho_acc:.4f}")
+    pos_acc = float((preds[ho_y == 1] == 1).mean())
+    neg_acc = float((preds[ho_y == 0] == 0).mean())
+    print(f"final-epoch train acc {train_acc:.4f}, holdout acc {ho_acc:.4f} "
+          f"(pos {pos_acc:.4f} / neg {neg_acc:.4f})")
     save_params(params)
     print("weights written")
 
