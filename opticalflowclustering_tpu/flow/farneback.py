@@ -117,8 +117,13 @@ def _poly_exp_consts(n: int, sigma: float):
     )
 
 
-def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
-    """Quadratic polynomial expansion of [..., H, W] → [..., H, W, 5].
+def poly_expansion(
+    img: jnp.ndarray, n: int, sigma: float, channel_first: bool = False
+) -> jnp.ndarray:
+    """Quadratic polynomial expansion of [..., H, W] → [..., H, W, 5]
+    (or [..., 5, H, W] with channel_first=True — the layout the fused
+    Pallas kernels consume, emitted directly so no [B,H,W,5]→[B,5,H,W]
+    transpose of the full tensor is materialized per pyramid level).
 
     Channels (OpenCV layout): 0: y-linear, 1: x-linear, 2: y², 3: x², 4: xy
     coefficients of the local signal model f(x) ≈ xᵀAx + bᵀx + c.
@@ -185,7 +190,7 @@ def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
             b4 * f32(ig33) + b1 * f32(ig03),
             b6 * f32(ig55),
         ],
-        axis=-1,
+        axis=-3 if channel_first else -1,
     )
 
 
@@ -462,8 +467,16 @@ def farneback_flow(
         for img in (prev_f, next_f):
             sm = gaussian_blur(img, smooth_sz, sigma, border="reflect101")
             levels_imgs.append(resize_linear(sm, (h_k, w_k)))
-        r0 = poly_expansion(levels_imgs[0], params.poly_n, params.poly_sigma)
-        r1 = poly_expansion(levels_imgs[1], params.poly_n, params.poly_sigma)
+        # The fused kernels consume channel-first planes — emit them
+        # directly rather than transposing the full tensor per level.
+        r0 = poly_expansion(
+            levels_imgs[0], params.poly_n, params.poly_sigma,
+            channel_first=fused_tpu,
+        )
+        r1 = poly_expansion(
+            levels_imgs[1], params.poly_n, params.poly_sigma,
+            channel_first=fused_tpu,
+        )
 
         if flow is None:
             flow = None if fused_tpu else jnp.zeros(
@@ -478,7 +491,7 @@ def farneback_flow(
             # Transposes/pads of r0/r1 are iteration-invariant — prepared
             # once per level; the iteration loop moves flow between kernels
             # as padded planes with no pad/slice/transpose copies.
-            bufs = kw.prepare_fused_level(r0, r1)
+            bufs = kw.prepare_fused_level_cf(r0, r1)
             if flow is None:
                 fxp, fyp = kw.zero_flow_planes(bufs)
             else:

@@ -112,7 +112,7 @@ def _lane_gather3(blocks, idx):
 
 def _warp_m_kernel(
     fx_ref, fy_ref, r0_ref, r1_hbm, out_ref, scratch, acc_ref, sem,
-    *, h, w, sup
+    *, h, w, sup, nb, ni, nu
 ):
     """Exact warp + M-build for one [5, SUP, 128] block.
 
@@ -129,22 +129,47 @@ def _warp_m_kernel(
     — exact bilinear sampling."""
     from opticalflowclustering_tpu.flow.farneback import _m_build
 
+    b0 = pl.program_id(0)
     i = pl.program_id(1)
     u = pl.program_id(2)
     f32 = jnp.float32
     win_rows = sup + 2 * (_R + 1) + 8
 
-    copy = pltpu.make_async_copy(
-        r1_hbm.at[
-            pl.program_id(0),
-            :,
-            pl.ds(i * sup, win_rows),
-            pl.ds(u * _LANES, 3 * _LANES),
-        ],
-        scratch,
-        sem,
-    )
-    copy.start()
+    # Double-buffered window staging across grid programs: each program
+    # starts the NEXT program's window DMA before computing on its own,
+    # so the ~5 MB copy streams behind the candidate loop instead of
+    # stalling at every grid step (the TPU grid is sequential; scratch
+    # persists across programs).
+    step = (b0 * ni + i) * nu + u
+    slot = jax.lax.rem(step, 2)
+
+    def window_dma(slot_, b_, i_, u_):
+        return pltpu.make_async_copy(
+            r1_hbm.at[
+                b_,
+                :,
+                pl.ds(i_ * sup, win_rows),
+                pl.ds(u_ * _LANES, 3 * _LANES),
+            ],
+            scratch.at[slot_],
+            sem.at[slot_],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        window_dma(slot, b0, i, u).start()
+
+    nxt = step + 1
+
+    @pl.when(nxt < nb * ni * nu)
+    def _():
+        r = jax.lax.rem(nxt, ni * nu)
+        window_dma(
+            jax.lax.rem(nxt, 2),
+            nxt // (ni * nu),
+            r // nu,
+            jax.lax.rem(r, nu),
+        ).start()
 
     dx = fx_ref[0]  # [SUP, 128]
     dy = fy_ref[0]
@@ -172,7 +197,8 @@ def _warp_m_kernel(
     )
     taper = _taper_ramp(y, h) * _taper_ramp(x, w)
 
-    copy.wait()
+    window_dma(slot, b0, i, u).wait()
+    win = scratch.at[slot]
 
     for c in range(sup // _CHUNK):
         rows_sl = slice(c * _CHUNK, (c + 1) * _CHUNK)
@@ -202,7 +228,7 @@ def _warp_m_kernel(
             # row start 8q + (R+1) + c·CHUNK is 8-aligned. Dead candidates
             # (outside [o_lo, o_hi+1]) are branch-skipped — the 8-group
             # alignment costs no gathers.
-            slab = scratch[
+            slab = win[
                 :, pl.ds(q * 8 + _R + 1 + c * _CHUNK, _CHUNK + 8), :
             ]
             for s in range(8):
@@ -211,13 +237,14 @@ def _warp_m_kernel(
                 @pl.when((o >= o_lo) & (o <= o_hi + 1))
                 def _(o=o, s=s, slab=slab):
                     hx = hgather(slab[:, s : s + _CHUNK, :])
-                    m0 = (oy_c == o)[None]
-                    m1 = (oy_c == o - 1)[None]
-                    acc_ref[...] = (
-                        acc_ref[...]
-                        + jnp.where(m0, hx * (f32(1.0) - fy_c), f32(0.0))
-                        + jnp.where(m1, hx * fy_c, f32(0.0))
-                    )
+                    # Candidate row o lands with weight 1−fy where it is the
+                    # pixel's own floor row, fy where it is the row below —
+                    # the masks are mutually exclusive, so one fused weight
+                    # plane replaces two full-size where+add passes.
+                    w0 = jnp.where(
+                        (oy_c == o)[None], f32(1.0) - fy_c, f32(0.0)
+                    ) + jnp.where((oy_c == o - 1)[None], fy_c, f32(0.0))
+                    acc_ref[...] = acc_ref[...] + hx * w0
 
             return carry
 
@@ -239,7 +266,8 @@ def _warp_m_kernel(
 
 
 def _solve_kernel(
-    m_hbm, fx_ref, fy_ref, scratch, sem, *, h, w, lb, row0, lane0, winsize
+    m_hbm, fx_ref, fy_ref, scratch, sem,
+    *, h, w, lb, row0, lane0, winsize, nb, ni, nu
 ):
     """Flow update for one [SB, LB] tile: winsize box sum of the 5-channel
     M (replicate border, symmetric-pair order like ops.filters.box_sum)
@@ -251,41 +279,71 @@ def _solve_kernel(
     u = pl.program_id(2)
     f32 = jnp.float32
     rad = winsize // 2
+
     # Window rows [i*SB - 8, i*SB + SB + 8), lanes [u*lb - 128, +lb + 128),
     # both in-bounds thanks to the one-block halo of the M buffer.
-    copy = pltpu.make_async_copy(
-        m_hbm.at[
-            b,
-            :,
-            pl.ds(row0 + i * _SB - 8, _SB + 16),
-            pl.ds(lane0 + u * lb - _LANES, lb + 2 * _LANES),
-        ],
-        scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-    wm = scratch[...]  # [5, SB+16, lb+256]
+    # Double-buffered across grid programs (same scheme as _warp_m_kernel).
+    step = (b * ni + i) * nu + u
+    slot = jax.lax.rem(step, 2)
+
+    def window_dma(slot_, b_, i_, u_):
+        return pltpu.make_async_copy(
+            m_hbm.at[
+                b_,
+                :,
+                pl.ds(row0 + i_ * _SB - 8, _SB + 16),
+                pl.ds(lane0 + u_ * lb - _LANES, lb + 2 * _LANES),
+            ],
+            scratch.at[slot_],
+            sem.at[slot_],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        window_dma(slot, b, i, u).start()
+
+    nxt = step + 1
+
+    @pl.when(nxt < nb * ni * nu)
+    def _():
+        r = jax.lax.rem(nxt, ni * nu)
+        window_dma(
+            jax.lax.rem(nxt, 2),
+            nxt // (ni * nu),
+            r // nu,
+            jax.lax.rem(r, nu),
+        ).start()
+
+    window_dma(slot, b, i, u).wait()
+    win = scratch.at[slot]
+    wm = win[...]  # [5, SB+16, lb+256]
 
     # Vertical box with replicate clamping. Absolute row of window row j is
     # i*SB - 8 + j; rows 0 and h-1 live at window positions 8 - i*SB and
     # 8 + (h-1) - i*SB (clamped ds — the masks are false whenever the
-    # position is actually out of window).
+    # position is actually out of window). Replicate clamping is applied by
+    # pre-clamping the WINDOW once (two wheres over SB+16 rows) instead of
+    # two wheres per tap over SB rows — the taps then read the identical
+    # values in the identical symmetric-pair order, so results are bitwise
+    # unchanged while the border masking work drops ~7×.
     yloc = jax.lax.broadcasted_iota(jnp.int32, (1, _SB, 1), 1) + i * _SB
-    row0 = scratch[:, pl.ds(jnp.clip(8 - i * _SB, 0, _SB + 15), 1), :]
-    rowl = scratch[:, pl.ds(jnp.clip(8 + h - 1 - i * _SB, 0, _SB + 15), 1), :]
+    rowf = win[:, pl.ds(jnp.clip(8 - i * _SB, 0, _SB + 15), 1), :]
+    rowl = win[:, pl.ds(jnp.clip(8 + h - 1 - i * _SB, 0, _SB + 15), 1), :]
+    wrow = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, _SB + 16, 1), 1)
+        + i * _SB
+        - 8
+    )
+    wm = jnp.where(wrow < 0, rowf, jnp.where(wrow > h - 1, rowl, wm))
     acc = wm[:, 8 : 8 + _SB, :]
     for d in range(1, rad + 1):
-        up = wm[:, 8 - d : 8 - d + _SB, :]
-        dn = wm[:, 8 + d : 8 + d + _SB, :]
-        up = jnp.where(yloc - d < 0, row0, up)
-        dn = jnp.where(yloc + d > h - 1, rowl, dn)
-        acc = acc + (up + dn)
+        acc = acc + (wm[:, 8 - d : 8 - d + _SB, :] + wm[:, 8 + d : 8 + d + _SB, :])
 
-    # Horizontal box over lanes; center lanes are [128, 128+lb).
+    # Horizontal box over lanes; center lanes are [128, 128+lb). Same
+    # pre-clamp trick on the lane axis: replace window lanes whose global
+    # column is outside [0, w-1] with the replicate columns (extracted with
+    # one-hot masked reductions — Mosaic has no dynamic_slice on values).
     xloc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb), 2) + u * lb
-    # Mosaic has no dynamic_slice on values; extract the two replicate
-    # source columns (x=0 and x=w-1) with one-hot masked reductions.
     wloc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb + 2 * _LANES), 2)
     p0 = jnp.clip(_LANES - u * lb, 0, lb + 2 * _LANES - 1)
     pl_ = jnp.clip(_LANES + w - 1 - u * lb, 0, lb + 2 * _LANES - 1)
@@ -295,13 +353,14 @@ def _solve_kernel(
     coll = jnp.sum(
         jnp.where(wloc == pl_, acc, f32(0.0)), axis=2, keepdims=True
     )
+    wcol = wloc + u * lb - _LANES
+    acc = jnp.where(wcol < 0, col0, jnp.where(wcol > w - 1, coll, acc))
     hacc = acc[:, :, _LANES : _LANES + lb]
     for d in range(1, rad + 1):
-        lf = acc[:, :, _LANES - d : _LANES - d + lb]
-        rt = acc[:, :, _LANES + d : _LANES + d + lb]
-        lf = jnp.where(xloc - d < 0, col0, lf)
-        rt = jnp.where(xloc + d > w - 1, coll, rt)
-        hacc = hacc + (lf + rt)
+        hacc = hacc + (
+            acc[:, :, _LANES - d : _LANES - d + lb]
+            + acc[:, :, _LANES + d : _LANES + d + lb]
+        )
 
     s = hacc * f32(1.0 / (winsize * winsize))
     g11, g12, g22, h1, h2 = (s[c] for c in range(5))
@@ -338,18 +397,29 @@ class FusedLevelBuffers:
 
 def prepare_fused_level(r0: jnp.ndarray, r1: jnp.ndarray) -> FusedLevelBuffers:
     """r0, r1: [..., H, W, 5] float32 polynomial-expansion tensors."""
+    return prepare_fused_level_cf(
+        jnp.moveaxis(r0, -1, -3), jnp.moveaxis(r1, -1, -3)
+    )
+
+
+def prepare_fused_level_cf(
+    r0: jnp.ndarray, r1: jnp.ndarray
+) -> FusedLevelBuffers:
+    """Channel-first variant: r0, r1 [..., 5, H, W] (what
+    `poly_expansion(..., channel_first=True)` emits) — the hot path pads
+    straight into the kernel layout without a full-tensor transpose."""
     lead = r0.shape[:-3]
-    h, w = r0.shape[-3], r0.shape[-2]
+    h, w = r0.shape[-2], r0.shape[-1]
     b = 1
     for d in lead:
         b *= d
     wt = _ceil_to(w, _LANES)
     ht = _ceil_to(h, _LANES)
 
-    r0f = jnp.moveaxis(r0.reshape((b, h, w, 5)), -1, 1)
+    r0f = r0.reshape((b, 5, h, w))
     r0p = jnp.pad(r0f, ((0, 0), (0, 0), (0, ht - h), (0, wt - w)))
 
-    r1f = jnp.moveaxis(r1.reshape((b, h, w, 5)), -1, 1)
+    r1f = r1.reshape((b, 5, h, w))
     # Row pad: R+1 above, enough below that the last row block's window
     # (sup + 2(R+1) + 8 rows) stays in bounds; lane pad: one tile each
     # side for the ±1-tile horizontal gather window. Zero-filled — every
@@ -411,7 +481,10 @@ def fused_m_planes(
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_warp_m_kernel, h=h, w=w, sup=sup),
+        functools.partial(
+            _warp_m_kernel, h=h, w=w, sup=sup,
+            nb=b, ni=ht // sup, nu=wt // _LANES,
+        ),
         grid=(b, ht // sup, wt // _LANES),
         in_specs=[
             fspec,
@@ -431,10 +504,10 @@ def fused_m_planes(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (5, sup + 2 * (_R + 1) + 8, 3 * _LANES), jnp.float32
+                (2, 5, sup + 2 * (_R + 1) + 8, 3 * _LANES), jnp.float32
             ),
             pltpu.VMEM((5, _CHUNK, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             # The unrolled candidate slabs' scheduled temporaries exceed
@@ -465,7 +538,7 @@ def fused_solve(
     return pl.pallas_call(
         functools.partial(
             _solve_kernel, h=h, w=w, lb=lb, row0=row0, lane0=lane0,
-            winsize=winsize,
+            winsize=winsize, nb=b, ni=ht // _SB, nu=wt // lb,
         ),
         grid=(b, ht // _SB, wt // lb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -475,8 +548,8 @@ def fused_solve(
             jax.ShapeDtypeStruct((b, ht, wt), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((5, _SB + 16, lb + 2 * _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 5, _SB + 16, lb + 2 * _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(mpad)
