@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _REACH_X = 127  # horizontal displacement coverage of the 3-tile window
 _R = 119  # vertical candidate window half-size (R+1 ≡ 0 mod 8 required)
-_CHUNK = 32  # rows per candidate-range chunk (tight oy ranges)
+_CHUNK = 16  # rows per candidate-range chunk (tight oy ranges; swept 16/32/64 on-chip — 16 is fastest: smaller chunks bound each chunk's vertical candidate range tighter than the fixed per-chunk overhead costs)
 _SB = 128  # solve kernel row block
 
 
