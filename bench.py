@@ -158,7 +158,15 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
 
 
 def bench_cpu_reference(frames: np.ndarray, n_frames: int = 10) -> float:
-    """The reference's per-frame loop, verbatim semantics."""
+    """The reference's per-frame loop, verbatim semantics. Two timed passes,
+    fastest wins — the CPU number feeds the denominator of vs_baseline, so
+    host-load noise must err in the CPU's favor."""
+    return max(
+        _cpu_reference_pass(frames, n_frames) for _ in range(2)
+    )
+
+
+def _cpu_reference_pass(frames: np.ndarray, n_frames: int) -> float:
     import cv2
     from sklearn.cluster import KMeans
 

@@ -198,6 +198,55 @@ def section_stages(chunk=8):
     )
 
 
+def section_tail(chunk=8):
+    """Pyramid-build tail (presmooth+resize+poly+prepare, no iterations)
+    vs full flow — isolates the non-kernel XLA time (ms/pair)."""
+    from opticalflowclustering_tpu.flow.farneback import (
+        FarnebackParams,
+        farneback_flow,
+        poly_expansion,
+        pyramid_plan,
+        _cvround,
+    )
+    from opticalflowclustering_tpu.kernels import warp as kw
+    from opticalflowclustering_tpu.ops.colorspace import bgr2gray
+    from opticalflowclustering_tpu.ops.filters import gaussian_blur
+    from opticalflowclustering_tpu.ops.resize import resize_linear
+
+    import bench
+
+    fp = FarnebackParams(warp_mode="fast")
+    frames = jnp.asarray(bench.synth_frames(chunk + 1))
+    gray = jax.block_until_ready(jax.jit(bgr2gray)(frames))
+
+    def pyramid_only(x, g):
+        prev_f = g[:-1].astype(jnp.float32) + x * 1e-6
+        next_f = g[1:].astype(jnp.float32)
+        probes = []
+        for k, h_k, w_k, sigma in pyramid_plan(720, 1280, fp):
+            smooth_sz = max(_cvround(sigma * 5) | 1, 3)
+            rs = []
+            for img in (prev_f, next_f):
+                sm = gaussian_blur(img, smooth_sz, sigma, border="reflect101")
+                rs.append(resize_linear(sm, (h_k, w_k)))
+            r0 = poly_expansion(rs[0], fp.poly_n, fp.poly_sigma, channel_first=True)
+            r1 = poly_expansion(rs[1], fp.poly_n, fp.poly_sigma, channel_first=True)
+            bufs = kw.prepare_fused_level_cf(r0, r1)
+            probes.append(bufs.r0p[0, 0, 0, :4] + bufs.r1p[0, 0, 0, :4])
+        return sum(probes)
+
+    t_pyr = scan_time(pyramid_only, (gray,))
+    t_flow = scan_time(
+        lambda x, g: farneback_flow(g[:-1] + x * 1e-6, g[1:], fp), (gray,)
+    )
+    f = 1e3 / chunk
+    print(
+        f"== tail, chunk={chunk} (ms/pair) ==\n"
+        f"pyramid build (presmooth+resize+poly+prepare) {t_pyr * f:.3f}  "
+        f"full flow {t_flow * f:.3f}  iterations+rest {(t_flow - t_pyr) * f:.3f}"
+    )
+
+
 def section_chunks():
     """Chunk sweep through the real single-dispatch video program."""
     import bench
