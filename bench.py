@@ -142,11 +142,11 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
     dev = jax.device_put(chunks)
 
     def run():
-        out = _video_step(dev, cfg)
-        # Device→host fetch of the actual products (hue feature tables) is
-        # the completion barrier — block_until_ready can return at enqueue
-        # time on remote/tunneled runtimes.
-        return np.asarray(out["hue_table"]), np.asarray(out["rgb_hue_table"])
+        # Device→host fetch of the actual products (the packed feature
+        # table — hue | rgb_hue | mean_mag in one f32 array, one tunnel
+        # round-trip) is the completion barrier — block_until_ready can
+        # return at enqueue time on remote/tunneled runtimes.
+        return np.asarray(_video_step(dev, cfg))
 
     run()  # compile + warm
     times = []

@@ -496,11 +496,16 @@ def farneback_flow(
                 fxp, fyp = kw.zero_flow_planes(bufs)
             else:
                 fxp, fyp = kw.pad_flow_planes(bufs, flow)
-            mpad = kw.fused_m_planes(bufs, fxp, fyp)
+            # 16-row candidate chunks at every level: flow *slope* (not
+            # magnitude) sets a chunk's vertical candidate range, and slope
+            # does not shrink at coarse levels — 32-row coarse chunks
+            # measured slower (bench 140.9 vs 147.9 fps).
+            ck = 16
+            mpad = kw.fused_m_planes(bufs, fxp, fyp, chunk=ck)
             for i in range(params.iterations):
                 fxp, fyp = kw.fused_solve(bufs, mpad, params.winsize)
                 if i < params.iterations - 1:
-                    mpad = kw.fused_m_planes(bufs, fxp, fyp)
+                    mpad = kw.fused_m_planes(bufs, fxp, fyp, chunk=ck)
             flow = kw.planes_to_flow(bufs, fxp, fyp)
         else:
             # Flow values at level k are in level-k pixels (≈ motion / 2^k),

@@ -112,7 +112,7 @@ def _lane_gather3(blocks, idx):
 
 def _warp_m_kernel(
     fx_ref, fy_ref, r0_ref, r1_hbm, out_ref, scratch, acc_ref, sem,
-    *, h, w, sup, nb, ni, nu
+    *, h, w, sup, nb, ni, nu, chunk
 ):
     """Exact warp + M-build for one [5, SUP, 128] block.
 
@@ -200,8 +200,8 @@ def _warp_m_kernel(
     window_dma(slot, b0, i, u).wait()
     win = scratch.at[slot]
 
-    for c in range(sup // _CHUNK):
-        rows_sl = slice(c * _CHUNK, (c + 1) * _CHUNK)
+    for c in range(sup // chunk):
+        rows_sl = slice(c * chunk, (c + 1) * chunk)
         oy_c = oy[rows_sl]
         x1c_c = x1c[rows_sl]
         fx_c = fx[:, rows_sl]
@@ -220,7 +220,7 @@ def _warp_m_kernel(
             g1 = _lane_gather3(blocks, rel0 + 1)
             return g0 * (f32(1.0) - fx_c) + g1 * fx_c
 
-        acc_ref[...] = jnp.zeros((5, _CHUNK, _LANES), f32)
+        acc_ref[...] = jnp.zeros((5, chunk, _LANES), f32)
 
         def body(q, carry, c=c, oy_c=oy_c, fy_c=fy_c, hgather=hgather,
                  o_lo=o_lo, o_hi=o_hi):
@@ -229,14 +229,14 @@ def _warp_m_kernel(
             # (outside [o_lo, o_hi+1]) are branch-skipped — the 8-group
             # alignment costs no gathers.
             slab = win[
-                :, pl.ds(q * 8 + _R + 1 + c * _CHUNK, _CHUNK + 8), :
+                :, pl.ds(q * 8 + _R + 1 + c * chunk, chunk + 8), :
             ]
             for s in range(8):
                 o = q * 8 + s
 
                 @pl.when((o >= o_lo) & (o <= o_hi + 1))
                 def _(o=o, s=s, slab=slab):
-                    hx = hgather(slab[:, s : s + _CHUNK, :])
+                    hx = hgather(slab[:, s : s + chunk, :])
                     # Candidate row o lands with weight 1−fy where it is the
                     # pixel's own floor row, fy where it is the row below —
                     # the masks are mutually exclusive, so one fused weight
@@ -316,62 +316,97 @@ def _solve_kernel(
 
     window_dma(slot, b, i, u).wait()
     win = scratch.at[slot]
-    wm = win[...]  # [5, SB+16, lb+256]
 
-    # Vertical box with replicate clamping. Absolute row of window row j is
-    # i*SB - 8 + j; rows 0 and h-1 live at window positions 8 - i*SB and
-    # 8 + (h-1) - i*SB (clamped ds — the masks are false whenever the
-    # position is actually out of window). Replicate clamping is applied by
-    # pre-clamping the WINDOW once (two wheres over SB+16 rows) instead of
-    # two wheres per tap over SB rows — the taps then read the identical
-    # values in the identical symmetric-pair order, so results are bitwise
-    # unchanged while the border masking work drops ~7×.
     yloc = jax.lax.broadcasted_iota(jnp.int32, (1, _SB, 1), 1) + i * _SB
-    rowf = win[:, pl.ds(jnp.clip(8 - i * _SB, 0, _SB + 15), 1), :]
-    rowl = win[:, pl.ds(jnp.clip(8 + h - 1 - i * _SB, 0, _SB + 15), 1), :]
-    wrow = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, _SB + 16, 1), 1)
-        + i * _SB
-        - 8
-    )
-    wm = jnp.where(wrow < 0, rowf, jnp.where(wrow > h - 1, rowl, wm))
-    acc = wm[:, 8 : 8 + _SB, :]
-    for d in range(1, rad + 1):
-        acc = acc + (wm[:, 8 - d : 8 - d + _SB, :] + wm[:, 8 + d : 8 + d + _SB, :])
-
-    # Horizontal box over lanes; center lanes are [128, 128+lb). Same
-    # pre-clamp trick on the lane axis: replace window lanes whose global
-    # column is outside [0, w-1] with the replicate columns (extracted with
-    # one-hot masked reductions — Mosaic has no dynamic_slice on values).
     xloc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb), 2) + u * lb
-    wloc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb + 2 * _LANES), 2)
-    p0 = jnp.clip(_LANES - u * lb, 0, lb + 2 * _LANES - 1)
-    pl_ = jnp.clip(_LANES + w - 1 - u * lb, 0, lb + 2 * _LANES - 1)
-    col0 = jnp.sum(
-        jnp.where(wloc == p0, acc, f32(0.0)), axis=2, keepdims=True
-    )
-    coll = jnp.sum(
-        jnp.where(wloc == pl_, acc, f32(0.0)), axis=2, keepdims=True
-    )
-    wcol = wloc + u * lb - _LANES
-    acc = jnp.where(wcol < 0, col0, jnp.where(wcol > w - 1, coll, acc))
-    hacc = acc[:, :, _LANES : _LANES + lb]
-    for d in range(1, rad + 1):
-        hacc = hacc + (
-            acc[:, :, _LANES - d : _LANES - d + lb]
-            + acc[:, :, _LANES + d : _LANES + d + lb]
-        )
 
-    s = hacc * f32(1.0 / (winsize * winsize))
-    g11, g12, g22, h1, h2 = (s[c] for c in range(5))
-    idet = f32(1.0) / (g11 * g22 - g12 * g12 + f32(1e-3))
-    fx = (g11 * h2 - g12 * h1) * idet
-    fy = (g22 * h1 - g12 * h2) * idet
-    # Keep the pad region identically zero — the invariant every other
-    # kernel's masks rely on.
-    valid = (yloc[0] < h) & (xloc[0] < w)
-    fx_ref[0] = jnp.where(valid, fx, f32(0.0))
-    fy_ref[0] = jnp.where(valid, fy, f32(0.0))
+    def vertical_box(wm):
+        acc = wm[:, 8 : 8 + _SB, :]
+        for d in range(1, rad + 1):
+            acc = acc + (
+                wm[:, 8 - d : 8 - d + _SB, :] + wm[:, 8 + d : 8 + d + _SB, :]
+            )
+        return acc
+
+    def horizontal_box(acc):
+        hacc = acc[:, :, _LANES : _LANES + lb]
+        for d in range(1, rad + 1):
+            hacc = hacc + (
+                acc[:, :, _LANES - d : _LANES - d + lb]
+                + acc[:, :, _LANES + d : _LANES + d + lb]
+            )
+        return hacc
+
+    def solve_write(hacc, mask_pad):
+        s = hacc * f32(1.0 / (winsize * winsize))
+        g11, g12, g22, h1, h2 = (s[c] for c in range(5))
+        idet = f32(1.0) / (g11 * g22 - g12 * g12 + f32(1e-3))
+        fx = (g11 * h2 - g12 * h1) * idet
+        fy = (g22 * h1 - g12 * h2) * idet
+        if mask_pad:
+            # Keep the pad region identically zero — the invariant every
+            # other kernel's masks rely on.
+            valid = (yloc[0] < h) & (xloc[0] < w)
+            fx = jnp.where(valid, fx, f32(0.0))
+            fy = jnp.where(valid, fy, f32(0.0))
+        fx_ref[0] = fx
+        fy_ref[0] = fy
+
+    # Interior tiles — the common case: the ±(rad+1)-row/lane window cannot
+    # touch a frame border or the zero-pad region, so the replicate
+    # clamping and pad re-masking are no-ops and are skipped entirely.
+    interior = (
+        (i * _SB >= 8)
+        & (i * _SB + _SB + 8 <= h)
+        & (u * lb >= _LANES)
+        & (u * lb + lb + _LANES <= w)
+    )
+
+    @pl.when(interior)
+    def _():
+        solve_write(horizontal_box(vertical_box(win[...])), mask_pad=False)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        # Vertical box with replicate clamping. Absolute row of window row
+        # j is i*SB - 8 + j; rows 0 and h-1 live at window positions
+        # 8 - i*SB and 8 + (h-1) - i*SB (clamped ds — the masks are false
+        # whenever the position is actually out of window). Replicate
+        # clamping pre-clamps the WINDOW once (two wheres over SB+16 rows)
+        # instead of two wheres per tap over SB rows — the taps then read
+        # identical values in the identical symmetric-pair order, so
+        # results are bitwise unchanged while the masking work drops ~7×.
+        wm = win[...]  # [5, SB+16, lb+256]
+        rowf = win[:, pl.ds(jnp.clip(8 - i * _SB, 0, _SB + 15), 1), :]
+        rowl = win[
+            :, pl.ds(jnp.clip(8 + h - 1 - i * _SB, 0, _SB + 15), 1), :
+        ]
+        wrow = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, _SB + 16, 1), 1)
+            + i * _SB
+            - 8
+        )
+        wm = jnp.where(wrow < 0, rowf, jnp.where(wrow > h - 1, rowl, wm))
+        acc = vertical_box(wm)
+
+        # Same pre-clamp trick on the lane axis: replace window lanes whose
+        # global column is outside [0, w-1] with the replicate columns
+        # (extracted with one-hot masked reductions — Mosaic has no
+        # dynamic_slice on values).
+        wloc = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, lb + 2 * _LANES), 2
+        )
+        p0 = jnp.clip(_LANES - u * lb, 0, lb + 2 * _LANES - 1)
+        pl_ = jnp.clip(_LANES + w - 1 - u * lb, 0, lb + 2 * _LANES - 1)
+        col0 = jnp.sum(
+            jnp.where(wloc == p0, acc, f32(0.0)), axis=2, keepdims=True
+        )
+        coll = jnp.sum(
+            jnp.where(wloc == pl_, acc, f32(0.0)), axis=2, keepdims=True
+        )
+        wcol = wloc + u * lb - _LANES
+        acc = jnp.where(wcol < 0, col0, jnp.where(wcol > w - 1, coll, acc))
+        solve_write(horizontal_box(acc), mask_pad=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -468,10 +503,16 @@ def fused_m_planes(
     fx: jnp.ndarray,
     fy: jnp.ndarray,
     interpret: bool = False,
+    chunk: int = _CHUNK,
 ) -> jnp.ndarray:
     """Exact warp + M-build: M in the halo-padded buffer
     [B, 5, Ht + 2·sup, Wt + 2·128] (one halo block per side, uninitialized;
-    every consumer masks them). fx, fy: padded planes."""
+    every consumer masks them). fx, fy: padded planes.
+
+    `chunk` = rows per candidate-range chunk: 16 suits full-resolution
+    levels (tight vertical ranges), 32 suits coarse pyramid levels where
+    per-chunk fixed costs dominate (flow is half-scale per level, so the
+    candidate range stays small even over more rows)."""
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = bufs.r0p.shape[0]
     sup = _super_rows(ht)
@@ -483,7 +524,7 @@ def fused_m_planes(
     return pl.pallas_call(
         functools.partial(
             _warp_m_kernel, h=h, w=w, sup=sup,
-            nb=b, ni=ht // sup, nu=wt // _LANES,
+            nb=b, ni=ht // sup, nu=wt // _LANES, chunk=chunk,
         ),
         grid=(b, ht // sup, wt // _LANES),
         in_specs=[
@@ -506,7 +547,7 @@ def fused_m_planes(
             pltpu.VMEM(
                 (2, 5, sup + 2 * (_R + 1) + 8, 3 * _LANES), jnp.float32
             ),
-            pltpu.VMEM((5, _CHUNK, _LANES), jnp.float32),
+            pltpu.VMEM((5, chunk, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -109,13 +109,39 @@ def _video_step(chunks, cfg: PipelineConfig):
     """Whole-video pipeline as ONE device program: lax.scan of chunk_step
     over stacked chunks [K, C+1, H, W, 3]. One dispatch per video instead
     of one per chunk — on remote/tunneled runtimes each dispatch costs
-    ~30 ms, which at chunk=8 would be ~4 ms/pair of pure overhead."""
+    ~30 ms, which at chunk=8 would be ~4 ms/pair of pure overhead.
+
+    Feature-only runs (emit_flow_bgr=False) return ONE packed f32 array
+    [K, C, cells + cells + 1] = [hue | rgb_hue | mean_mag] instead of a
+    dict: every device→host fetch is a tunnel round-trip (~30 ms measured),
+    and the whole point of the feature path is that its products are tiny.
+    All three tables are exactly representable in f32 (hue is uint8)."""
 
     def step(carry, chunk):
         return carry, chunk_step(chunk, cfg)
 
     _, outs = jax.lax.scan(step, 0, chunks)
+    if not cfg.emit_flow_bgr:
+        return jnp.concatenate(
+            [
+                outs["hue_table"].astype(jnp.float32),
+                outs["rgb_hue_table"],
+                outs["mean_magnitude"][..., None],
+            ],
+            axis=-1,
+        )
     return outs
+
+
+def _unpack_tables(packed: np.ndarray, n_pairs: int) -> dict[str, np.ndarray]:
+    """Inverse of _video_step's packed layout → flat per-pair tables."""
+    flat = packed.reshape(-1, packed.shape[-1])[:n_pairs]
+    cells = (flat.shape[-1] - 1) // 2
+    return {
+        "hue_table": flat[:, :cells].astype(np.uint8),
+        "rgb_hue_table": flat[:, cells : 2 * cells],
+        "mean_magnitude": flat[:, -1],
+    }
 
 
 def _stack_chunks(frames_bgr: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
@@ -171,6 +197,8 @@ def process_frames(
         # Single-dispatch path: scan over chunks on device.
         chunks, n_pairs = _stack_chunks(frames_bgr, cfg.chunk)
         out = _video_step(jax.device_put(chunks), cfg)
+        if not cfg.emit_flow_bgr:
+            return _unpack_tables(np.asarray(out), n_pairs)
         return {
             k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n_pairs]
             for k, v in out.items()

@@ -270,11 +270,7 @@ def section_chunks():
         dev = jax.device_put(chunks)
 
         def run():
-            out = _video_step(dev, cfg)
-            return (
-                np.asarray(out["hue_table"]),
-                np.asarray(out["rgb_hue_table"]),
-            )
+            return np.asarray(_video_step(dev, cfg))
 
         try:
             run()
