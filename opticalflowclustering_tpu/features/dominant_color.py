@@ -48,6 +48,34 @@ def _rint_div(p: jnp.ndarray, q: int) -> jnp.ndarray:
     return m + roundup.astype(p.dtype)
 
 
+def dominant_hue_k1_frames(
+    frames_bgr: jnp.ndarray, grid, rb_swap: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """dominant_hue_k1 of every grid cell, computed frame-wise:
+    whiten (own-rectangle) + RGBA preprocess are per-pixel and fuse as
+    elementwise ops on [..., H, W, 3]; the per-cell sums are strided
+    reductions (features.grid.grid_cell_sums) — no [.., cells, ys, xs, 4]
+    tensor is ever materialized. Identical values to the cell-tensor path
+    (integer sums are association-free; verified element-equal in tests).
+
+    Returns (centroid [..., rows*cols, 4] int32, hue [..., rows*cols] u8).
+    """
+    from opticalflowclustering_tpu.features.grid import (
+        grid_cell_sums,
+        whiten_frame_lines,
+    )
+
+    h, w = frames_bgr.shape[-3], frames_bgr.shape[-2]
+    ys, xs = grid.steps(h, w)
+    wh = whiten_frame_lines(frames_bgr, grid, own_rectangle=True)
+    rgba = preprocess_cells_rgba(wh, rb_swap=rb_swap)
+    s = grid_cell_sums(rgba, grid)
+    centroid = _rint_div(s, ys * xs)
+    bgr = centroid[..., :3].astype(jnp.uint8)
+    hue = bgr2hsv(bgr)[..., 0]
+    return centroid, hue
+
+
 def dominant_hue_k1(rgba_cells: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k=1 `cluster_colors` (`KmeanGrids.py:288-339`): the centroid is the
     exact pixel mean. Returns (centroid [..., 4] int32, hue [...] uint8).

@@ -85,6 +85,41 @@ def whiten_grid_lines(
     return cells
 
 
+def whiten_frame_lines(
+    frames: jnp.ndarray, grid: GridParams, own_rectangle: bool
+) -> jnp.ndarray:
+    """whiten_grid_lines applied directly on [..., H, W, C] frames — the
+    same white pixels, expressed as an elementwise mask so XLA fuses it
+    into the surrounding chain instead of materializing a cell-layout
+    copy. own_rectangle semantics match whiten_grid_lines."""
+    h, w = frames.shape[-3], frames.shape[-2]
+    ys, xs = grid.steps(h, w)
+    y = jnp.arange(h, dtype=jnp.int32)[:, None]
+    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+    in_grid = (y < grid.rows * ys) & (x < grid.cols * xs)
+    if own_rectangle:
+        line = (y % ys == 0) | (x % xs == 0)
+    else:
+        line = ((y % ys == 0) & (y >= ys)) | ((x % xs == 0) & (x >= xs))
+    white = jnp.asarray(255, frames.dtype)
+    return jnp.where((in_grid & line)[..., None], white, frames)
+
+
+def grid_cell_sums(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
+    """Per-cell int32 channel sums of [..., H, W, C] frames →
+    [..., rows*cols, C], without materializing the cell tensor: two strided
+    reductions on reshaped views (rows first, then cols) — contiguous
+    reshapes, no transpose copy. Identical values to summing
+    extract_cells (integer sums are association-free)."""
+    h, w, c = frames.shape[-3], frames.shape[-2], frames.shape[-1]
+    ys, xs = grid.steps(h, w)
+    lead = frames.shape[:-3]
+    x = frames[..., : grid.rows * ys, : grid.cols * xs, :].astype(jnp.int32)
+    x = x.reshape(*lead, grid.rows, ys, grid.cols * xs, c).sum(axis=-3)
+    x = x.reshape(*lead, grid.rows, grid.cols, xs, c).sum(axis=-2)
+    return x.reshape(*lead, grid.rows * grid.cols, c)
+
+
 def grid_mean_bgr(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
     """Per-cell mean BGR, truncated to uint8 like the reference's
     `np.mean(grid_roi, axis=(0,1)).astype(np.uint8)`
@@ -93,14 +128,17 @@ def grid_mean_bgr(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:
 
     frames: [..., H, W, 3] uint8 → [..., rows*cols, 3] uint8.
     """
-    cells = extract_cells(frames, grid)
-    cells = whiten_grid_lines(cells, grid, own_rectangle=False)
+    h, w = frames.shape[-3], frames.shape[-2]
+    ys, xs = grid.steps(h, w)
     # np.mean in float64 then .astype(uint8) truncates toward zero. Sums of
     # uint8 over a cell are exact in int32, so the truncated integer mean is
-    # floor(sum/count) — computed exactly in integer arithmetic.
-    s = jnp.sum(cells.astype(jnp.int32), axis=(-3, -2))
-    count = cells.shape[-3] * cells.shape[-2]
-    return (s // count).astype(jnp.uint8)
+    # floor(sum/count) — computed exactly in integer arithmetic. The whiten
+    # + sums run frame-wise (fused mask + strided reductions) — no cell
+    # tensor is materialized.
+    s = grid_cell_sums(
+        whiten_frame_lines(frames, grid, own_rectangle=False), grid
+    )
+    return (s // (ys * xs)).astype(jnp.uint8)
 
 
 def grid_mean_hue(frames: jnp.ndarray, grid: GridParams) -> jnp.ndarray:

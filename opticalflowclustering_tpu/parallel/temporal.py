@@ -23,14 +23,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from opticalflowclustering_tpu.features.dominant_color import (
-    dominant_hue_k1,
-    preprocess_cells_rgba,
+    dominant_hue_k1_frames,
 )
 from opticalflowclustering_tpu.features.grid import (
     GridParams,
-    extract_cells,
     grid_mean_hue,
-    whiten_grid_lines,
 )
 from opticalflowclustering_tpu.flow.farneback import FarnebackParams, farneback_flow
 from opticalflowclustering_tpu.flow.render import render_flow_hsv_bgr
@@ -101,10 +98,7 @@ def sharded_hue_pipeline(
         mag = magnitude(flow[..., 0], flow[..., 1])
         mean_mag = jnp.mean(mag, axis=(-2, -1))
         flow_bgr = render_flow_hsv_bgr(flow)
-        cells = extract_cells(flow_bgr, grid)
-        cells = whiten_grid_lines(cells, grid, own_rectangle=True)
-        rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
-        _, hue = dominant_hue_k1(rgba)
+        _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
         rgb_hue = grid_mean_hue(flow_bgr, grid)
         return hue, rgb_hue, mean_mag
 
@@ -149,10 +143,7 @@ def sharded_hue_pipeline_videos(
         mag = magnitude(flow[..., 0], flow[..., 1])
         mean_mag = jnp.mean(mag, axis=(-2, -1))
         flow_bgr = render_flow_hsv_bgr(flow)
-        cells = extract_cells(flow_bgr, grid)
-        cells = whiten_grid_lines(cells, grid, own_rectangle=True)
-        rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
-        _, hue = dominant_hue_k1(rgba)
+        _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
         rgb_hue = grid_mean_hue(flow_bgr, grid)
         return hue, rgb_hue, mean_mag
 
@@ -173,9 +164,6 @@ def unsharded_hue_pipeline_videos(
     mag = magnitude(flow[..., 0], flow[..., 1])
     mean_mag = jnp.mean(mag, axis=(-2, -1))
     flow_bgr = render_flow_hsv_bgr(flow)
-    cells = extract_cells(flow_bgr, grid)
-    cells = whiten_grid_lines(cells, grid, own_rectangle=True)
-    rgba = preprocess_cells_rgba(cells, rb_swap=rb_swap)
-    _, hue = dominant_hue_k1(rgba)
+    _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
     rgb_hue = grid_mean_hue(flow_bgr, grid)
     return hue, rgb_hue, mean_mag

@@ -20,13 +20,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from opticalflowclustering_tpu.features.dominant_color import (
-    dominant_hue_k1,
-    preprocess_cells_rgba,
+    dominant_hue_k1_frames,
 )
 from opticalflowclustering_tpu.features.grid import (
     GridParams,
-    extract_cells,
-    whiten_grid_lines,
 )
 from opticalflowclustering_tpu.flow.farneback import FarnebackParams, farneback_flow
 from opticalflowclustering_tpu.flow.render import render_flow_hsv_bgr
@@ -51,9 +48,7 @@ def _local_hue_features(
 
     flow = farneback_flow(prev, nxt, params)
     flow_bgr = render_flow_hsv_bgr(flow)
-    cells = extract_cells(flow_bgr, grid)
-    cells = whiten_grid_lines(cells, grid, own_rectangle=True)
-    _, hue = dominant_hue_k1(preprocess_cells_rgba(cells))
+    _, hue = dominant_hue_k1_frames(flow_bgr, grid)
     return hue.astype(jnp.float32)
 
 

@@ -26,13 +26,12 @@ import numpy as np
 from opticalflowclustering_tpu.cluster.matcher import match_signature
 from opticalflowclustering_tpu.features.dominant_color import (
     dominant_hue_k1,
+    dominant_hue_k1_frames,
     preprocess_cells_rgba,
 )
 from opticalflowclustering_tpu.features.grid import (
     GridParams,
-    extract_cells,
     grid_mean_hue,
-    whiten_grid_lines,
 )
 from opticalflowclustering_tpu.flow.farneback import (
     FarnebackParams,
@@ -85,11 +84,10 @@ def chunk_step(frames_chunk, cfg: PipelineConfig):
     mean_mag = jnp.mean(mag, axis=(-2, -1))
     flow_bgr = render_flow_hsv_bgr(flow)
 
-    cells = extract_cells(flow_bgr, cfg.grid)
-    cells_own = whiten_grid_lines(cells, cfg.grid, own_rectangle=True)
-    rgba = preprocess_cells_rgba(cells_own, rb_swap=cfg.rb_swap)
-    _, hue = dominant_hue_k1(rgba)
-
+    # Frame-wise feature extraction: whiten/preprocess fuse as elementwise
+    # masks and the cell sums are strided reductions — no cell-layout copy
+    # of the rendered frames (element-equal to the cell-tensor path).
+    _, hue = dominant_hue_k1_frames(flow_bgr, cfg.grid, rb_swap=cfg.rb_swap)
     rgb_hue = grid_mean_hue(flow_bgr, cfg.grid)
     out = {
         "hue_table": hue,
@@ -166,10 +164,7 @@ def _stack_chunks(frames_bgr: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
 def grid_cluster_stage(flow_bgr, grid: GridParams, rb_swap: bool):
     """Grid pooling + dominant hue for pre-rendered (possibly host-edited)
     flow frames — the device half of the two-phase overlay path."""
-    cells = extract_cells(flow_bgr, grid)
-    cells_own = whiten_grid_lines(cells, grid, own_rectangle=True)
-    rgba = preprocess_cells_rgba(cells_own, rb_swap=rb_swap)
-    _, hue = dominant_hue_k1(rgba)
+    _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
     rgb_hue = grid_mean_hue(flow_bgr, grid)
     return hue, rgb_hue
 

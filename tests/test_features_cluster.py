@@ -163,3 +163,46 @@ def test_matcher_reproduces_reference_cli():
     sims = np.asarray(sliding_cosine_similarity(
         np.asarray(sig, np.float32), np.asarray(ser, np.float32)))
     assert sims.shape[0] == len(ser) - len(sig) + 1
+
+
+def test_framewise_feature_path_equals_cell_tensor_path():
+    """The frame-wise fused path (whiten_frame_lines + grid_cell_sums,
+    used by the video pipeline) must be element-equal to the cell-tensor
+    path (extract_cells + whiten_grid_lines + per-cell reduction) for both
+    line semantics and both features — integer sums are association-free,
+    so any difference is a masking/geometry bug."""
+    from opticalflowclustering_tpu.features.dominant_color import (
+        dominant_hue_k1_frames,
+    )
+    from opticalflowclustering_tpu.features.grid import (
+        grid_cell_sums,
+        whiten_frame_lines,
+    )
+
+    # Both a divisible and a remainder geometry (720/14 leaves a remainder).
+    for h, w, grid in [(72, 100, GridParams(4, 5)), (73, 103, GridParams(4, 5))]:
+        frames = RNG.integers(0, 256, (3, h, w, 3), dtype=np.uint8)
+        for own in (True, False):
+            cells = whiten_grid_lines(
+                extract_cells(frames, grid), grid, own_rectangle=own
+            )
+            want = np.asarray(cells).astype(np.int64).sum(axis=(-3, -2))
+            got = np.asarray(
+                grid_cell_sums(
+                    whiten_frame_lines(frames, grid, own_rectangle=own), grid
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
+        for rb_swap in (True, False):
+            cells = whiten_grid_lines(
+                extract_cells(frames, grid), grid, own_rectangle=True
+            )
+            cen_want, hue_want = dominant_hue_k1(
+                preprocess_cells_rgba(cells, rb_swap=rb_swap)
+            )
+            cen_got, hue_got = dominant_hue_k1_frames(
+                frames, grid, rb_swap=rb_swap
+            )
+            np.testing.assert_array_equal(np.asarray(cen_got), np.asarray(cen_want))
+            np.testing.assert_array_equal(np.asarray(hue_got), np.asarray(hue_want))
