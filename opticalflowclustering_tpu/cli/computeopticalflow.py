@@ -16,9 +16,18 @@ def main(argv=None):
     )
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--warp-mode",
+        choices=("fast", "exact", "select"),
+        default="fast",
+        help="flow-warp implementation: 'fast' = fused Pallas kernels "
+        "(~1e-5 px EPE vs cv2, production default); 'exact' = bit-faithful "
+        "XLA gather",
+    )
     args = ap.parse_args(argv)
 
     from opticalflowclustering_tpu.compat.writers import write_optical_flow_csv
+    from opticalflowclustering_tpu.flow.farneback import FarnebackParams
     from opticalflowclustering_tpu.io.video import (
         read_video_bgr,
         video_fps,
@@ -30,7 +39,10 @@ def main(argv=None):
     )
 
     frames = read_video_bgr(args.input, args.max_frames)
-    out = process_frames(frames, PipelineConfig())
+    out = process_frames(
+        frames,
+        PipelineConfig(flow=FarnebackParams(warp_mode=args.warp_mode)),
+    )
 
     write_video_mjpg(
         args.input + "onlyOpticalflow.mp4", out["flow_bgr"], video_fps(args.input)

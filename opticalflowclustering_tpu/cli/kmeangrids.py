@@ -34,6 +34,14 @@ def parse_arguments(argv=None):
         help="use the in-memory channel order instead of the golden-artifact "
         "disk-roundtrip order (SURVEY.md §2.5 #5)",
     )
+    ap.add_argument(
+        "--warp-mode",
+        choices=("fast", "exact", "select"),
+        default="fast",
+        help="flow-warp implementation (flow.farneback.FarnebackParams): "
+        "'fast' is the fused Pallas kernel suite (~1e-5 px EPE vs cv2, "
+        "the production default); 'exact' the bit-faithful XLA gather",
+    )
     return vars(ap.parse_args(argv))
 
 
@@ -79,9 +87,21 @@ def main(argv=None):
                 contour_dir="Contours" if args["nocontour"] else None,
                 video_name=os.path.basename(args["path"]),
             )
+        from opticalflowclustering_tpu.flow.farneback import FarnebackParams
+
         frames = read_video_bgr(args["path"], args["max_frames"])
+        # This CLI writes CSVs only (the reference's video write is
+        # commented out, `KmeanGrids.py:233-234`), so without overlays it
+        # takes the feature-only path: no rendered-video materialization,
+        # one packed device→host fetch.
         out = process_frames(
-            frames, PipelineConfig(rb_swap=rb_swap), overlays=overlays
+            frames,
+            PipelineConfig(
+                rb_swap=rb_swap,
+                emit_flow_bgr=overlays is not None,
+                flow=FarnebackParams(warp_mode=args["warp_mode"]),
+            ),
+            overlays=overlays,
         )
         hue_table = out["hue_table"]
         centroids = None
