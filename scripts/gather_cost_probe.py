@@ -84,3 +84,81 @@ for op in ("mul", "where", "take"):
         f"{op}: {per * 1e9:.1f} ns per op on [80,128] "
         f"(= {per * 1e9 * 940 / 1e3 / 10:.2f} cycles/vreg @940MHz, 10 vregs)"
     )
+
+
+# bf16 probe: does a bf16 lane gather cost half the f32 one (5 vregs vs 10
+# on [80,128])? And do 8-row dynamic sublane slices of a bf16 VMEM ref
+# lower at all (bf16 tile is (16,128))?
+def make_bf16_take(n):
+    def kernel(x_ref, idx_ref, o_ref):
+        x0 = x_ref[...]
+        idx = idx_ref[...]
+
+        def body(i, acc):
+            x = x0 + i.astype(jnp.bfloat16)
+            g = jnp.take_along_axis(x, idx, axis=-1)
+            return acc + g.astype(jnp.float32)
+
+        o_ref[...] = jax.lax.fori_loop(
+            0, n, body, jnp.zeros((ROWS, LANES), jnp.float32)
+        )
+
+    @jax.jit
+    def run(x, idx):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, idx)
+
+    return run
+
+
+def probe_bf16():
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.standard_normal((ROWS, LANES)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, LANES, (ROWS, LANES)), jnp.int32)
+    hi = timed(make_bf16_take(N_HI), xb, idx)
+    lo = timed(make_bf16_take(N_LO), xb, idx)
+    per = (hi - lo) / (N_HI - N_LO)
+    print(f"take-bf16: {per * 1e9:.1f} ns per op on [80,128]")
+
+
+def probe_bf16_dynslice():
+    def kernel(x_ref, off_ref, o_ref):
+        off = off_ref[0]
+        o_ref[...] = x_ref[
+            pl.ds(jax.lax.rem(off, 8) * 8, 24), :
+        ].astype(jnp.float32)
+
+    @jax.jit
+    def run(x, off):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((24, LANES), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, off)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((ROWS, LANES)), jnp.bfloat16)
+    want = np.asarray(x[8:32]).astype(np.float32)
+    try:
+        got = np.asarray(run(x, jnp.asarray([1], jnp.int32)))
+        ok = np.array_equal(got, want)
+        print(f"bf16 8-row dynamic sublane slice: lowers, correct={ok}")
+    except Exception as e:
+        print(f"bf16 8-row dynamic sublane slice: FAILS ({type(e).__name__}: "
+              f"{str(e)[:140]})")
+
+
+if __name__ == "__main__" or True:
+    probe_bf16()
+    probe_bf16_dynslice()

@@ -16,6 +16,8 @@ from opticalflowclustering_tpu.flow import (
     farneback_flow_batched,
 )
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(7)
 
 

@@ -16,6 +16,10 @@ _WORKER = r"""
 import os, sys
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 pid = int(sys.argv[1])
 port = sys.argv[2]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"

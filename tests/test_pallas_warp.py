@@ -22,6 +22,8 @@ from opticalflowclustering_tpu.kernels.warp import (
     update_matrices_gather,
 )
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(17)
 REF = "/root/reference/k-means-color-clustering"
 

@@ -15,6 +15,8 @@ from opticalflowclustering_tpu.parallel.temporal import (
 )
 from opticalflowclustering_tpu.pipeline.bounce import PipelineConfig, process_frames
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(21)
 # Small enough that the Farneback pyramid truncates to one level — the
 # sharding semantics under test are identical, and CPU compiles stay fast.

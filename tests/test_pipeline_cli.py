@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/k-means-color-clustering"
 RNG = np.random.default_rng(5)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -16,6 +16,8 @@ from opticalflowclustering_tpu.flow.farneback import (
 )
 from opticalflowclustering_tpu.parallel.spatial import spatial_farneback_flow
 
+pytestmark = pytest.mark.slow
+
 
 def _smooth(a: np.ndarray, r: int = 8) -> np.ndarray:
     k = 2 * r + 1
