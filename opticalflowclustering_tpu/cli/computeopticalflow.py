@@ -22,7 +22,8 @@ def main(argv=None):
         default="fast",
         help="flow-warp implementation: 'fast' = fused Pallas kernels "
         "(~1e-5 px EPE vs cv2, production default); 'exact' = bit-faithful "
-        "XLA gather",
+        "XLA gather; 'select' = legacy gather-free warp, INEXACT at motion "
+        "discontinuities (0.1-1 px EPE), kept for comparison only",
     )
     args = ap.parse_args(argv)
 

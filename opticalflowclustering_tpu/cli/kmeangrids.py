@@ -40,7 +40,9 @@ def parse_arguments(argv=None):
         default="fast",
         help="flow-warp implementation (flow.farneback.FarnebackParams): "
         "'fast' is the fused Pallas kernel suite (~1e-5 px EPE vs cv2, "
-        "the production default); 'exact' the bit-faithful XLA gather",
+        "the production default); 'exact' the bit-faithful XLA gather; "
+        "'select' the legacy gather-free warp — INEXACT at motion "
+        "discontinuities (0.1-1 px EPE), kept for comparison only",
     )
     return vars(ap.parse_args(argv))
 

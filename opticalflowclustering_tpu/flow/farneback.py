@@ -452,10 +452,14 @@ def farneback_flow(
     # kernels/warp.py) on TPU; their bitwise-equivalent XLA emulation
     # elsewhere (tests and CPU runs). The Gaussian-window variant keeps the
     # XLA solve (the reference never sets OPTFLOW_FARNEBACK_GAUSSIAN).
+    # The fused solve kernel's DMA halo covers a box radius of 8 rows/lanes
+    # (winsize ≤ 17); larger windows (the reference never uses one — its
+    # call is winsize=15) fall back to the XLA path.
     fused_tpu = (
         params.warp_mode == "fast"
         and jax.default_backend() == "tpu"
         and not params.gaussian_win
+        and params.winsize <= 17
     )
     if fused_tpu:
         from opticalflowclustering_tpu.kernels import warp as kw
@@ -496,16 +500,15 @@ def farneback_flow(
                 fxp, fyp = kw.zero_flow_planes(bufs)
             else:
                 fxp, fyp = kw.pad_flow_planes(bufs, flow)
-            # 16-row candidate chunks at every level: flow *slope* (not
-            # magnitude) sets a chunk's vertical candidate range, and slope
-            # does not shrink at coarse levels — 32-row coarse chunks
-            # measured slower (bench 140.9 vs 147.9 fps).
-            ck = 16
-            mpad = kw.fused_m_planes(bufs, fxp, fyp, chunk=ck)
+            # The default 16-row candidate chunk is fastest at every level:
+            # flow *slope* (not magnitude) sets a chunk's vertical candidate
+            # range, and slope does not shrink at coarse levels — 32-row
+            # coarse chunks measured slower (bench 140.9 vs 148.6 fps).
+            mpad = kw.fused_m_planes(bufs, fxp, fyp)
             for i in range(params.iterations):
                 fxp, fyp = kw.fused_solve(bufs, mpad, params.winsize)
                 if i < params.iterations - 1:
-                    mpad = kw.fused_m_planes(bufs, fxp, fyp, chunk=ck)
+                    mpad = kw.fused_m_planes(bufs, fxp, fyp)
             flow = kw.planes_to_flow(bufs, fxp, fyp)
         else:
             # Flow values at level k are in level-k pixels (≈ motion / 2^k),

@@ -509,10 +509,12 @@ def fused_m_planes(
     [B, 5, Ht + 2·sup, Wt + 2·128] (one halo block per side, uninitialized;
     every consumer masks them). fx, fy: padded planes.
 
-    `chunk` = rows per candidate-range chunk: 16 suits full-resolution
-    levels (tight vertical ranges), 32 suits coarse pyramid levels where
-    per-chunk fixed costs dominate (flow is half-scale per level, so the
-    candidate range stays small even over more rows)."""
+    `chunk` = rows per candidate-range chunk. 16 (the default) measured
+    fastest at EVERY pyramid level: flow *slope*, not magnitude, sets a
+    chunk's vertical candidate range, so coarse levels gain nothing from
+    bigger chunks (32 at coarse levels benched 140.9 vs 148.6 fps end to
+    end). The parameter exists for on-chip sweeps
+    (scripts/warp_chunk_sweep.py)."""
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = bufs.r0p.shape[0]
     sup = _super_rows(ht)
@@ -567,7 +569,14 @@ def fused_solve(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Box-filtered 2×2 solve of the halo-padded M → (fx, fy) padded planes
     (pad region re-zeroed). Mirrors flow.farneback._update_flow with
-    gaussian=False."""
+    gaussian=False. The windowed DMA stages an 8-row/±128-lane halo, so the
+    box radius must fit in it (farneback_flow falls back to the XLA solve
+    beyond winsize 17)."""
+    if winsize // 2 > 8:
+        raise ValueError(
+            f"fused_solve supports winsize <= 17 (8-row DMA halo); got "
+            f"{winsize}"
+        )
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = mpad.shape[0]
     lb = 2 * _LANES if wt % (2 * _LANES) == 0 else _LANES

@@ -73,17 +73,19 @@ def timed(fn, x, idx):
     return min(ts)
 
 
-rng = np.random.default_rng(0)
-x = jnp.asarray(rng.standard_normal((ROWS, LANES)), jnp.float32)
-idx = jnp.asarray(rng.integers(0, LANES, (ROWS, LANES)), jnp.int32)
-for op in ("mul", "where", "take"):
-    hi = timed(make(op, N_HI), x, idx)
-    lo = timed(make(op, N_LO), x, idx)
-    per = (hi - lo) / (N_HI - N_LO)
-    print(
-        f"{op}: {per * 1e9:.1f} ns per op on [80,128] "
-        f"(= {per * 1e9 * 940 / 1e3 / 10:.2f} cycles/vreg @940MHz, 10 vregs)"
-    )
+def probe_f32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((ROWS, LANES)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, LANES, (ROWS, LANES)), jnp.int32)
+    for op in ("mul", "where", "take"):
+        hi = timed(make(op, N_HI), x, idx)
+        lo = timed(make(op, N_LO), x, idx)
+        per = (hi - lo) / (N_HI - N_LO)
+        print(
+            f"{op}: {per * 1e9:.1f} ns per op on [80,128] "
+            f"(= {per * 1e9 * 940 / 1e3 / 10:.2f} cycles/vreg @940MHz, "
+            f"10 vregs)"
+        )
 
 
 # bf16 probe: does a bf16 lane gather cost half the f32 one (5 vregs vs 10
@@ -159,6 +161,7 @@ def probe_bf16_dynslice():
               f"{str(e)[:140]})")
 
 
-if __name__ == "__main__" or True:
+if __name__ == "__main__":
+    probe_f32()
     probe_bf16()
     probe_bf16_dynslice()

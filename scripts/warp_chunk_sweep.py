@@ -42,11 +42,12 @@ def rebuild(r0p, r1p):
     return kw.FusedLevelBuffers(r0p, r1p, bufs0.lead, bufs0.h, bufs0.w)
 
 
-for chunk in (8, 16):
-    kw._CHUNK = chunk
+for chunk in (16, 32, 64):
 
-    def m_body(x, fxp, fyp, r0p, r1p):
-        return kw.fused_m_planes(rebuild(r0p, r1p), fxp + x * 1e-6, fyp)
+    def m_body(x, fxp, fyp, r0p, r1p, chunk=chunk):
+        return kw.fused_m_planes(
+            rebuild(r0p, r1p), fxp + x * 1e-6, fyp, chunk=chunk
+        )
 
     t = scan_time(m_body, (fxp, fyp, bufs0.r0p, bufs0.r1p))
-    print(f"_CHUNK={chunk}: warp+M {t / batch * 1e3:.3f} ms/img-iter")
+    print(f"chunk={chunk}: warp+M {t / batch * 1e3:.3f} ms/img-iter")

@@ -12,13 +12,13 @@ import socket
 import subprocess
 import sys
 
-_WORKER = r"""
-import os, sys
-import numpy as np
-
 import pytest
 
 pytestmark = pytest.mark.slow
+
+_WORKER = r"""
+import os, sys
+import numpy as np
 
 pid = int(sys.argv[1])
 port = sys.argv[2]
