@@ -62,7 +62,7 @@ def main(argv=None):
             if args.use_rgb
             else read_video_bgr(args.optical, args.max_frames)
         )
-        hue, rgb_hue = grid_cluster_stage(src, grid, cfg.rb_swap)
+        _, hue, rgb_hue = grid_cluster_stage(src, grid, cfg.rb_swap)
         out = {
             "flow_bgr": np.asarray(src),
             "hue_table": np.asarray(hue),

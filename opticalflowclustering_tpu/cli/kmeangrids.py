@@ -106,7 +106,10 @@ def main(argv=None):
             overlays=overlays,
         )
         hue_table = out["hue_table"]
-        centroids = None
+        # Per-cell RGBA centroids ride the packed fetch — the fused run's
+        # `-f`/addnew rows (`KmeanGrids.py:320-339`) are written on the
+        # video path too, not just the phase-2 cell-tree path.
+        centroids = out["centroids"]
     else:
         # Phase-2-only: cluster the existing OutImgs cell tree.
         from opticalflowclustering_tpu.io.images import read_cell_tree

@@ -72,6 +72,10 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # OPTFLOW_FARNEBACK_GAUSSIAN
+    # Library default is the bit-faithful path; the production CLIs
+    # (computeopticalflow/kmeangrids) pass warp_mode='fast' explicitly —
+    # the exact Pallas kernel suite, ~1e-5 px EPE vs cv2 (README "Warp
+    # modes"). Parity/oracle tests rely on this default staying 'exact'.
     warp_mode: str = "exact"
     warp_radius: int = 32  # 'select' mode only
 

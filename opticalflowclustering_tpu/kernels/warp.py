@@ -518,6 +518,14 @@ def fused_m_planes(
     h, w, ht, wt = bufs.h, bufs.w, bufs.ht, bufs.wt
     b = bufs.r0p.shape[0]
     sup = _super_rows(ht)
+    # The kernel's candidate loop runs `sup // chunk` times and each slab
+    # start is 8-row aligned (`q*8 + _R+1 + c*chunk`): a chunk that doesn't
+    # divide sup would silently drop tail rows; a non-multiple-of-8 chunk
+    # would misalign every slab.
+    if sup % chunk != 0 or chunk % 8 != 0:
+        raise ValueError(
+            f"chunk={chunk} must divide sup={sup} and be a multiple of 8"
+        )
 
     fspec = pl.BlockSpec(
         (1, sup, _LANES), lambda b_, i, u: (b_, i, u),

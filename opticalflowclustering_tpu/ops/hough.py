@@ -1,23 +1,136 @@
 """Hough circle detection (`detect-circles/detect_circles.py:13`,
 cv2.HoughCircles HOUGH_GRADIENT dp=1.2 minDist=75).
 
-Gradient-vote formulation like OpenCV's HOUGH_GRADIENT: Canny edges vote
-for centers along their Sobel gradient direction across the radius range,
-the accumulator peaks (non-max within minDist) become candidate centers,
-and each center's radius is the modal edge distance. Edge detection and
-gradients run on device; the sparse, data-dependent accumulator vote is a
-host reduction (SURVEY.md §2.3 classifies Hough as host-boundary work).
+Gradient-vote formulation like OpenCV's HOUGH_GRADIENT, end-to-end on
+device as ONE jitted program: Canny edges vote for centers along their
+Sobel gradient direction across the radius range (dense scatter-add
+accumulator, `lax.scan` over radii so peak memory stays at one [H, W]
+vote plane per step), accumulator peaks are extracted with a device NMS
+scan (argmax + rectangular suppression within minDist — the global max is
+non-increasing under suppression, so the below-threshold cutoff is a
+monotone validity flag instead of a data-dependent break), and each
+center's radius is the modal edge distance (device bincount). The host
+wrapper only trims the fixed-size [max_circles, 3] result to the valid
+rows. SURVEY.md §2.3 called this scatter-add kernel a stretch goal; it
+was the last §2.3 primitive without a device path.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from opticalflowclustering_tpu.ops.edges import canny, sobel
 
 
-def hough_circles(
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dp",
+        "min_dist",
+        "canny_high",
+        "acc_threshold",
+        "min_radius",
+        "max_radius",
+        "max_circles",
+    ),
+)
+def hough_circles_device(
     gray: jnp.ndarray,
+    *,
+    dp: float = 1.2,
+    min_dist: float = 75.0,
+    canny_high: float = 100.0,
+    acc_threshold: float = 30.0,
+    min_radius: int = 10,
+    max_radius: int = 60,
+    max_circles: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[H, W] uint8 → (circles [max_circles, 3] (x, y, r), valid mask).
+    Fixed-size jittable core; circles are in detection (peak) order and
+    `valid` is monotone (all True rows precede all False rows)."""
+    h, w = gray.shape
+    ah, aw = int(h / dp) + 1, int(w / dp) + 1
+    edges = canny(gray, canny_high / 2.0, canny_high) > 0
+    gx = sobel(gray, 1, 0, 3).astype(jnp.float32)
+    gy = sobel(gray, 0, 1, 3).astype(jnp.float32)
+    mag = jnp.hypot(gx, gy)
+    votable = edges & (mag > 1e-3)
+    safe = jnp.where(mag > 1e-3, mag, 1.0)
+    dirx = gx / safe
+    diry = gy / safe
+
+    ys_f = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs_f = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    radii = jnp.arange(min_radius, max_radius + 1, dtype=jnp.float32)
+
+    def vote(acc, r):
+        for sign in (1.0, -1.0):
+            cx = (xs_f + sign * r * dirx) / dp
+            cy = (ys_f + sign * r * diry) / dp
+            cxi = jnp.round(cx).astype(jnp.int32)
+            cyi = jnp.round(cy).astype(jnp.int32)
+            ok = votable & (cxi >= 0) & (cxi < aw) & (cyi >= 0) & (cyi < ah)
+            acc = acc.at[
+                jnp.clip(cyi, 0, ah - 1), jnp.clip(cxi, 0, aw - 1)
+            ].add(ok.astype(jnp.int32))
+        return acc, None
+
+    acc, _ = jax.lax.scan(vote, jnp.zeros((ah, aw), jnp.int32), radii)
+
+    # Peak extraction: argmax + rectangular suppression within minDist
+    # (the accumulator-space window matches the host formulation's
+    # integer-truncated slice bounds; coordinates are non-negative, so
+    # floor == int()).
+    md = min_dist / dp
+    ay = jax.lax.broadcasted_iota(jnp.float32, (ah, aw), 0)
+    ax = jax.lax.broadcasted_iota(jnp.float32, (ah, aw), 1)
+
+    def nms_step(acc_work, _):
+        peak = jnp.max(acc_work)
+        idx = jnp.argmax(acc_work)
+        py = (idx // aw).astype(jnp.float32)
+        px = (idx % aw).astype(jnp.float32)
+        ok = peak.astype(jnp.float32) >= acc_threshold
+        y0 = jnp.floor(jnp.maximum(py - md, 0.0))
+        y1 = jnp.floor(py + md + 1.0)
+        x0 = jnp.floor(jnp.maximum(px - md, 0.0))
+        x1 = jnp.floor(px + md + 1.0)
+        hit = (ay >= y0) & (ay < y1) & (ax >= x0) & (ax < x1)
+        acc_work = jnp.where(hit, 0, acc_work)
+        return acc_work, (px * dp, py * dp, ok)
+
+    _, (cxs, cys, oks) = jax.lax.scan(
+        nms_step, acc, None, length=max_circles
+    )
+
+    # Radius: modal edge distance per center, np.histogram bin semantics
+    # (nbins over [min_radius, max_radius + 1)).
+    nbins = max_radius - min_radius + 1
+    width = (max_radius + 1 - min_radius) / nbins
+
+    def radius_for(cx0, cy0):
+        d = jnp.hypot(xs_f - cx0, ys_f - cy0)
+        sel = votable & (d >= min_radius) & (d <= max_radius)
+        bins = jnp.clip(
+            ((d - min_radius) / width).astype(jnp.int32), 0, nbins - 1
+        )
+        hist = jnp.zeros((nbins,), jnp.int32).at[bins].add(
+            sel.astype(jnp.int32)
+        )
+        r = min_radius + jnp.argmax(hist).astype(jnp.float32) * width + 0.5
+        return r, jnp.sum(hist) > 0
+
+    rs, has_r = jax.vmap(radius_for)(cxs, cys)
+    circles = jnp.stack([cxs, cys, rs], axis=-1)
+    return circles, oks & has_r
+
+
+def hough_circles(
+    gray,
     dp: float = 1.2,
     min_dist: float = 75.0,
     canny_high: float = 100.0,
@@ -26,50 +139,18 @@ def hough_circles(
     max_radius: int = 60,
     max_circles: int = 16,
 ) -> np.ndarray:
-    """[H, W] uint8 → [K, 3] (x, y, r) circles (K ≤ max_circles)."""
-    h, w = gray.shape
-    ah, aw = int(h / dp) + 1, int(w / dp) + 1
-    edges = np.asarray(canny(gray, canny_high / 2.0, canny_high)) > 0
-    gx = np.asarray(sobel(gray, 1, 0, 3))
-    gy = np.asarray(sobel(gray, 0, 1, 3))
-
-    ys, xs = np.nonzero(edges)
-    mag = np.hypot(gx[ys, xs], gy[ys, xs])
-    ok = mag > 1e-3
-    ys, xs, mag = ys[ok], xs[ok], mag[ok]
-    dirx = gx[ys, xs] / mag
-    diry = gy[ys, xs] / mag
-
-    acc = np.zeros((ah, aw), np.int32)
-    radii = np.arange(min_radius, max_radius + 1)
-    for sign in (1, -1):
-        cx = (xs[None, :] + sign * radii[:, None] * dirx[None, :]) / dp
-        cy = (ys[None, :] + sign * radii[:, None] * diry[None, :]) / dp
-        cxi = np.round(cx).astype(np.int64)
-        cyi = np.round(cy).astype(np.int64)
-        valid = (cxi >= 0) & (cxi < aw) & (cyi >= 0) & (cyi < ah)
-        np.add.at(acc, (cyi[valid], cxi[valid]), 1)
-
-    centers = []
-    acc_work = acc.astype(np.float64)
-    for _ in range(max_circles):
-        peak = acc_work.max()
-        if peak < acc_threshold:
-            break
-        py, px = np.unravel_index(np.argmax(acc_work), acc_work.shape)
-        centers.append((px * dp, py * dp))
-        y0, y1 = int(max(py - min_dist / dp, 0)), int(py + min_dist / dp + 1)
-        x0, x1 = int(max(px - min_dist / dp, 0)), int(px + min_dist / dp + 1)
-        acc_work[y0:y1, x0:x1] = 0
-
-    out = []
-    for cx0, cy0 in centers:
-        d = np.hypot(xs - cx0, ys - cy0)
-        sel = (d >= min_radius) & (d <= max_radius)
-        if not sel.any():
-            continue
-        hist, edges_ = np.histogram(d[sel], bins=max_radius - min_radius + 1,
-                                    range=(min_radius, max_radius + 1))
-        r = edges_[np.argmax(hist)] + 0.5
-        out.append((cx0, cy0, r))
-    return np.array(out)
+    """[H, W] uint8 → [K, 3] (x, y, r) circles (K ≤ max_circles), peak
+    order. Host wrapper over the jitted device core."""
+    circles, valid = hough_circles_device(
+        jnp.asarray(gray),
+        dp=dp,
+        min_dist=min_dist,
+        canny_high=canny_high,
+        acc_threshold=acc_threshold,
+        min_radius=min_radius,
+        max_radius=max_radius,
+        max_circles=max_circles,
+    )
+    circles = np.asarray(circles)
+    valid = np.asarray(valid)
+    return circles[valid]

@@ -87,11 +87,16 @@ def chunk_step(frames_chunk, cfg: PipelineConfig):
     # Frame-wise feature extraction: whiten/preprocess fuse as elementwise
     # masks and the cell sums are strided reductions — no cell-layout copy
     # of the rendered frames (element-equal to the cell-tensor path).
-    _, hue = dominant_hue_k1_frames(flow_bgr, cfg.grid, rb_swap=cfg.rb_swap)
+    centroids, hue = dominant_hue_k1_frames(
+        flow_bgr, cfg.grid, rb_swap=cfg.rb_swap
+    )
     rgb_hue = grid_mean_hue(flow_bgr, cfg.grid)
     out = {
         "hue_table": hue,
         "rgb_hue_table": rgb_hue,
+        # Per-cell RGBA centroids: the `-f`/addnew per-cell rows the
+        # reference's fused run appends (`KmeanGrids.py:320-339`).
+        "centroids": centroids,
         "mean_magnitude": mean_mag,
     }
     if cfg.emit_flow_bgr:
@@ -110,20 +115,23 @@ def _video_step(chunks, cfg: PipelineConfig):
     ~30 ms, which at chunk=8 would be ~4 ms/pair of pure overhead.
 
     Feature-only runs (emit_flow_bgr=False) return ONE packed f32 array
-    [K, C, cells + cells + 1] = [hue | rgb_hue | mean_mag] instead of a
-    dict: every device→host fetch is a tunnel round-trip (~30 ms measured),
-    and the whole point of the feature path is that its products are tiny.
-    All three tables are exactly representable in f32 (hue is uint8)."""
+    [K, C, cells + cells + 4·cells + 1] = [hue | rgb_hue | centroids |
+    mean_mag] instead of a dict: every device→host fetch is a tunnel
+    round-trip (~30 ms measured), and the whole point of the feature path
+    is that its products are tiny. All four tables are exactly
+    representable in f32 (hue is uint8, centroids are int32 ≤ 255)."""
 
     def step(carry, chunk):
         return carry, chunk_step(chunk, cfg)
 
     _, outs = jax.lax.scan(step, 0, chunks)
     if not cfg.emit_flow_bgr:
+        cen = outs["centroids"]
         return jnp.concatenate(
             [
                 outs["hue_table"].astype(jnp.float32),
                 outs["rgb_hue_table"],
+                cen.reshape(cen.shape[:2] + (-1,)).astype(jnp.float32),
                 outs["mean_magnitude"][..., None],
             ],
             axis=-1,
@@ -134,10 +142,13 @@ def _video_step(chunks, cfg: PipelineConfig):
 def _unpack_tables(packed: np.ndarray, n_pairs: int) -> dict[str, np.ndarray]:
     """Inverse of _video_step's packed layout → flat per-pair tables."""
     flat = packed.reshape(-1, packed.shape[-1])[:n_pairs]
-    cells = (flat.shape[-1] - 1) // 2
+    cells = (flat.shape[-1] - 1) // 6
     return {
         "hue_table": flat[:, :cells].astype(np.uint8),
         "rgb_hue_table": flat[:, cells : 2 * cells],
+        "centroids": flat[:, 2 * cells : 6 * cells]
+        .reshape(-1, cells, 4)
+        .astype(np.int32),
         "mean_magnitude": flat[:, -1],
     }
 
@@ -162,11 +173,12 @@ def _stack_chunks(frames_bgr: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
 
 @functools.partial(jax.jit, static_argnames=("grid", "rb_swap"))
 def grid_cluster_stage(flow_bgr, grid: GridParams, rb_swap: bool):
-    """Grid pooling + dominant hue for pre-rendered (possibly host-edited)
-    flow frames — the device half of the two-phase overlay path."""
-    _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
+    """Grid pooling + dominant hue/centroids for pre-rendered (possibly
+    host-edited) flow frames — the device half of the two-phase overlay
+    path. Returns (centroids, hue_table, rgb_hue_table)."""
+    centroids, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
     rgb_hue = grid_mean_hue(flow_bgr, grid)
-    return hue, rgb_hue
+    return centroids, hue, rgb_hue
 
 
 def process_frames(
@@ -187,6 +199,10 @@ def process_frames(
     n = frames_bgr.shape[0]
     if n < 2:
         raise ValueError("need at least 2 frames")
+    if overlays is not None and not cfg.emit_flow_bgr:
+        # The overlay path edits the rendered frames on host, so the render
+        # must be materialized; silently missing it would KeyError mid-loop.
+        cfg = dataclasses.replace(cfg, emit_flow_bgr=True)
 
     if overlays is None:
         # Single-dispatch path: scan over chunks on device.
@@ -214,10 +230,13 @@ def process_frames(
             # frameNum: the reference counts the first decoded frame as 1
             # and pairs start at frame 2 (`KmeanGrids.py:169,189`).
             _apply_overlays(flow_bgr, start + 2, overlays)
-            hue, rgb_hue = grid_cluster_stage(flow_bgr, cfg.grid, cfg.rb_swap)
+            cen, hue, rgb_hue = grid_cluster_stage(
+                flow_bgr, cfg.grid, cfg.rb_swap
+            )
             out["flow_bgr"] = flow_bgr
             out["hue_table"] = np.asarray(hue)
             out["rgb_hue_table"] = np.asarray(rgb_hue)
+            out["centroids"] = np.asarray(cen)
         outs.append(out)
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 

@@ -123,7 +123,7 @@ def main():
             flow_bgr = jax.random.randint(
                 jax.random.PRNGKey(seed), (chunk, H, W, 3), 0, 256, jnp.int32
             ).astype(jnp.uint8)
-            hue, rgb = grid_cluster_stage(flow_bgr, cfg.grid, cfg.rb_swap)
+            _, hue, rgb = grid_cluster_stage(flow_bgr, cfg.grid, cfg.rb_swap)
             return jnp.mean(hue.astype(jnp.float32), axis=1)
     else:
         raise SystemExit(f"unknown variant {variant}")
