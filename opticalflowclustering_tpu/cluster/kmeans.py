@@ -54,23 +54,34 @@ def _plusplus_init(key: jax.Array, x: jnp.ndarray, k: int) -> jnp.ndarray:
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iter"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_iter", "relocate_empty", "n_init")
+)
 def kmeans(
     points: jnp.ndarray,
     k: int,
     key: jax.Array | None = None,
     n_iter: int = 30,
+    relocate_empty: bool = False,
+    n_init: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd k-means over [P, D] float points → (centers [k,D], labels [P]).
 
-    Deterministic given `key`. Empty clusters keep their previous center
-    (sklearn instead relocates — general-k parity with sklearn is
-    statistical, per SURVEY.md §7 'hard parts' #4).
+    Deterministic given `key`. By default empty clusters keep their
+    previous center; `relocate_empty=True` gives sklearn's semantics
+    instead — each empty cluster is reseeded at the point currently
+    farthest from its assigned center (sklearn `_relocate_empty_clusters`,
+    the strategy `KMeans.fit` applies at `KmeanGrids.py:300-304`).
+    `n_init > 1` runs that many seeded k-means++ restarts in one vmapped
+    program and keeps the lowest-inertia run (sklearn default n_init=10).
+    General-k parity with sklearn stays statistical, per SURVEY.md §7
+    'hard parts' #4; tests/test_features_cluster.py pins inertia within
+    2% of sklearn on real reference cell pixels at k=3.
     """
     x = points.astype(jnp.float32)
     if key is None:
         key = jax.random.PRNGKey(0)
-    centers = _plusplus_init(key, x, k)
+    p = x.shape[0]
 
     def step(_, centers):
         d2 = _pairwise_sqdist(x, centers)
@@ -79,11 +90,31 @@ def kmeans(
         counts = jnp.sum(onehot, axis=0)  # [k]
         sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
         new = sums / jnp.maximum(counts[:, None], 1.0)
-        return jnp.where(counts[:, None] > 0, new, centers)
+        new = jnp.where(counts[:, None] > 0, new, centers)
+        if relocate_empty:
+            # farthest points (largest distance to their own center)
+            # reseed the empty clusters, one point per empty slot
+            dmin = jnp.take_along_axis(d2, labels[:, None], axis=-1)[:, 0]
+            order = jnp.argsort(-dmin)
+            rank = jnp.cumsum(counts == 0) - 1  # [k] slot among empties
+            cand = x[order[jnp.clip(rank, 0, p - 1)]]
+            new = jnp.where((counts == 0)[:, None], cand, new)
+        return new
 
-    centers = jax.lax.fori_loop(0, n_iter, step, centers)
-    labels = jnp.argmin(_pairwise_sqdist(x, centers), axis=-1)
-    return centers, labels
+    def run(key):
+        centers = _plusplus_init(key, x, k)
+        centers = jax.lax.fori_loop(0, n_iter, step, centers)
+        d2 = _pairwise_sqdist(x, centers)
+        labels = jnp.argmin(d2, axis=-1)
+        inertia = jnp.sum(jnp.min(d2, axis=-1))
+        return centers, labels, inertia
+
+    if n_init == 1:
+        centers, labels, _ = run(key)
+        return centers, labels
+    cs, ls, js = jax.vmap(run)(jax.random.split(key, n_init))
+    b = jnp.argmin(js)
+    return cs[b], ls[b]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_iter"))

@@ -49,6 +49,58 @@ def test_golden_outcsv_dominant_hue():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_general_k_kmeans_sklearn_semantics_on_real_cells():
+    """General-k parity with sklearn on real reference cell pixels
+    (VERDICT r2 #9): relocate_empty + n_init=10 must land within 2% of
+    sklearn's KMeans(n_clusters=3, n_init=10) inertia, with each sklearn
+    center matched by one of ours within 12 RGB units. Exact label
+    equality is out of reach by design (seeded PRNG streams differ);
+    inertia + matched centers is the documented tolerance."""
+    sklearn = pytest.importorskip("sklearn.cluster")
+    import jax
+
+    # a visually mixed frame: grid-line white + flow colors + dark bg
+    cells = _load_cells(f"{REF}/OutImgs/601_bad_bounce_3/10")
+    pts = cells[140:160].reshape(-1, 3).astype(np.float64)
+
+    sk = sklearn.KMeans(n_clusters=3, n_init=10, random_state=0).fit(pts)
+    centers, labels = kmeans(
+        pts.astype(np.float32),
+        3,
+        jax.random.PRNGKey(0),
+        relocate_empty=True,
+        n_init=10,
+    )
+    centers, labels = np.asarray(centers), np.asarray(labels)
+    ours = float(
+        np.sum((pts - centers[labels].astype(np.float64)) ** 2)
+    )
+    assert ours <= sk.inertia_ * 1.02, (ours, sk.inertia_)
+    for c in sk.cluster_centers_:
+        d = np.linalg.norm(centers - c, axis=1)
+        assert d.min() < 12.0, (c, centers)
+
+
+def test_relocate_empty_fills_all_clusters():
+    """With k far above the number of distinct points, default Lloyd
+    leaves empty clusters parked on their init; relocate_empty reseeds
+    them on the farthest points so every cluster is used (or every
+    distinct point is a center)."""
+    import jax
+
+    pts = np.repeat(
+        np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [50.0, 50.0]]), 25, 0
+    )
+    centers, labels = kmeans(
+        pts.astype(np.float32), 4, jax.random.PRNGKey(1), relocate_empty=True
+    )
+    assert len(np.unique(np.asarray(labels))) == 4
+    got = np.sort(np.asarray(centers), axis=0)
+    want = np.sort(np.array([[0, 0], [10, 0], [0, 10], [50, 50]], np.float32), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
 def test_dominant_hue_no_swap_matches_inmemory_semantics():
     """rb_swap=False must equal a direct numpy emulation of the current
     KmeanGrids in-memory path (no BGR2RGB flip)."""
