@@ -36,7 +36,9 @@ inside this envelope; tests/test_parallel.py pins bitwise equality on an
 Constraint: H must be divisible by n_shards * 2^levels so every pyramid
 level splits evenly and the bilinear sample grids of shard-local resizes
 align with the global grid (integer scale ⇒ identical interpolation
-weights; see ops/resize.py for the weight convention).
+weights; see ops/resize.py for the weight convention). For arbitrary
+heights use `spatial_farneback_flow_padded`, which replicate-pads the row
+axis to the next multiple and crops the result.
 """
 
 from __future__ import annotations
@@ -453,3 +455,46 @@ def spatial_farneback_flow(
         shard_fn, mesh=mesh, in_specs=(spec, spec), out_specs=flow_spec
     )
     return sharded(prev_img, next_img)
+
+
+def spatial_farneback_flow_padded(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "tp",
+    params: FarnebackParams = FarnebackParams(),
+) -> jnp.ndarray:
+    """Arbitrary-H spatial TP: replicate-pad the row axis up to the next
+    multiple of `n_shards * 2^levels`, run the sharded flow, crop back —
+    so non-divisible flagship geometries (720p, 1081p) shard without
+    manual padding (VERDICT r2 #7).
+
+    Semantics: bitwise equal to the unsharded exact-mode flow *of the
+    padded frame*, cropped to H (the TP-correctness property; pinned in
+    tests/test_spatial_tp.py). Replicate-padding necessarily moves the
+    bottom image border (taper position, blur reflection, box-solve
+    windows), so rows near the bottom differ from the unsharded flow of
+    the original frame; the 2×-integer pyramid resizes are row-local, so
+    rows away from the bottom border are unaffected (also pinned).
+    """
+    n_dev = mesh.shape[axis_name]
+    mult = n_dev * 2**params.levels
+    h = prev_img.shape[-2]
+    pad = (-h) % mult
+    if pad == 0:
+        return spatial_farneback_flow(
+            prev_img, next_img, mesh, axis_name, params
+        )
+
+    def _pad(img):
+        last = jax.lax.slice_in_dim(
+            img, h - 1, h, axis=img.ndim - 2
+        )
+        reps = [1] * img.ndim
+        reps[img.ndim - 2] = pad
+        return jnp.concatenate([img, jnp.tile(last, reps)], axis=img.ndim - 2)
+
+    flow = spatial_farneback_flow(
+        _pad(prev_img), _pad(next_img), mesh, axis_name, params
+    )
+    return jax.lax.slice_in_dim(flow, 0, h, axis=flow.ndim - 3)
