@@ -25,6 +25,7 @@ import glob
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -157,6 +158,73 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
     return n_pairs / min(times)
 
 
+def bench_decode_inclusive(frames: np.ndarray) -> dict[str, float]:
+    """End-to-end FROM AN MP4/AVI ON DISK (VERDICT r2 #1): encode the
+    canonical clip as MJPG (the reference's own writer fourcc), then time
+    decode → flow → grid → cluster → OutCSV **bytes on disk**, twice per
+    decode path:
+
+      * `stream`: cv2 decode on a background thread overlapped with async
+        device dispatch (pipeline.bounce.process_video_stream),
+      * `native`: the C++ threaded MJPEG decoder (native/fastio.cpp), whole
+        file in one FFI call, then the single-dispatch device path.
+
+    Also times decode alone (both paths) so the host-decode roofline is
+    explicit: on an M-core host the sustainable ceiling is
+    min(device_fps, M × decode_fps_1core).
+    """
+    import cv2
+
+    from opticalflowclustering_tpu.compat.writers import write_hue_table_csv
+    from opticalflowclustering_tpu.io import fastio
+    from opticalflowclustering_tpu.io.video import (
+        read_video_bgr,
+        write_video_mjpg,
+    )
+    from opticalflowclustering_tpu.pipeline.bounce import process_video_stream
+
+    out: dict[str, float] = {}
+    n_pairs = frames.shape[0] - 1
+    cfg = pipeline_config()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "clip.avi")
+        write_video_mjpg(path, frames, fps=30.0)
+        out["clip_mb"] = round(os.path.getsize(path) / 1e6, 1)
+
+        # decode-only rooflines (single pass each; decode is deterministic)
+        t0 = time.perf_counter()
+        read_video_bgr(path)
+        out["decode_fps_cv2"] = frames.shape[0] / (time.perf_counter() - t0)
+        if fastio.available():
+            t0 = time.perf_counter()
+            fastio.decode_mjpeg_avi(path)
+            out["decode_fps_native"] = frames.shape[0] / (
+                time.perf_counter() - t0
+            )
+
+        def timed(native: bool) -> float:
+            csv_path = os.path.join(td, "out.csv")
+            t0 = time.perf_counter()
+            tables = process_video_stream(path, cfg, native=native)
+            write_hue_table_csv(csv_path, tables["hue_table"])
+            os.stat(csv_path)  # completion = CSV bytes on disk
+            return n_pairs / (time.perf_counter() - t0)
+
+        timed(False)  # compile warm-up (stream-path shapes differ from batch)
+        runs = [timed(False), timed(False)]
+        out["e2e_fps_stream"] = max(runs)
+        out["e2e_fps_stream_spread_pct"] = (
+            abs(runs[0] - runs[1]) / max(runs) * 100
+        )
+        if fastio.available():
+            runs = [timed(True), timed(True)]
+            out["e2e_fps_native"] = max(runs)
+            out["e2e_fps_native_spread_pct"] = (
+                abs(runs[0] - runs[1]) / max(runs) * 100
+            )
+    return out
+
+
 def bench_cpu_reference(frames: np.ndarray, n_frames: int = 10) -> float:
     """The reference's per-frame loop, verbatim semantics. Two timed passes,
     fastest wins — the CPU number feeds the denominator of vs_baseline, so
@@ -217,6 +285,24 @@ def main():
           f"(spread {abs(tpu_fps - tpu_fps2) / tpu_fps * 100:.1f}%)",
           file=sys.stderr)
     tpu_fps = max(tpu_fps, tpu_fps2)
+    dec = bench_decode_inclusive(frames)
+    print(
+        "decode-inclusive (mp4 on disk -> OutCSV bytes, "
+        f"{dec['clip_mb']} MB MJPG clip): "
+        f"stream {dec['e2e_fps_stream']:.1f} fps "
+        f"(spread {dec['e2e_fps_stream_spread_pct']:.1f}%), "
+        f"native {dec.get('e2e_fps_native', float('nan')):.1f} fps "
+        f"(spread {dec.get('e2e_fps_native_spread_pct', float('nan')):.1f}%)",
+        file=sys.stderr,
+    )
+    ncpu = os.cpu_count() or 1
+    print(
+        f"decode-only roofline ({ncpu}-core host): "
+        f"cv2 {dec['decode_fps_cv2']:.1f} fps, "
+        f"native {dec.get('decode_fps_native', float('nan')):.1f} fps "
+        f"-> multi-core projection min(device, cores x decode)",
+        file=sys.stderr,
+    )
     epe, n_pairs = bench_epe_vs_cv2(frames)
     print(f"flow worst mean EPE vs cv2 over {n_pairs} "
           f"{'real' if os.path.isdir(REF) else 'synthetic'} pairs: "
@@ -228,6 +314,17 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(tpu_fps / cpu_fps, 1),
+                "decode_inclusive_fps_stream": round(
+                    dec["e2e_fps_stream"], 1
+                ),
+                "decode_inclusive_fps_native": round(
+                    dec.get("e2e_fps_native", 0.0), 1
+                ),
+                "decode_only_fps_cv2_1core": round(dec["decode_fps_cv2"], 1),
+                "decode_only_fps_native_1core": round(
+                    dec.get("decode_fps_native", 0.0), 1
+                ),
+                "host_cores": ncpu,
             }
         )
     )

@@ -35,6 +35,15 @@ def parse_arguments(argv=None):
         "disk-roundtrip order (SURVEY.md §2.5 #5)",
     )
     ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="decode-overlapped streaming pipeline (pipeline.bounce."
+        "process_video_stream): background-thread decode + async device "
+        "dispatch, constant host memory for arbitrarily long videos; "
+        "bit-identical tables, but incompatible with overlays (pass "
+        "--noyolo --nocontour)",
+    )
+    ap.add_argument(
         "--warp-mode",
         choices=("fast", "exact", "select"),
         default="fast",
@@ -91,20 +100,28 @@ def main(argv=None):
             )
         from opticalflowclustering_tpu.flow.farneback import FarnebackParams
 
-        frames = read_video_bgr(args["path"], args["max_frames"])
-        # This CLI writes CSVs only (the reference's video write is
-        # commented out, `KmeanGrids.py:233-234`), so without overlays it
-        # takes the feature-only path: no rendered-video materialization,
-        # one packed device→host fetch.
-        out = process_frames(
-            frames,
-            PipelineConfig(
-                rb_swap=rb_swap,
-                emit_flow_bgr=overlays is not None,
-                flow=FarnebackParams(warp_mode=args["warp_mode"]),
-            ),
-            overlays=overlays,
+        cfg = PipelineConfig(
+            rb_swap=rb_swap,
+            emit_flow_bgr=overlays is not None,
+            flow=FarnebackParams(warp_mode=args["warp_mode"]),
         )
+        if args["stream"]:
+            if overlays is not None:
+                raise SystemExit(
+                    "--stream is feature-only; pass --noyolo --nocontour"
+                )
+            from opticalflowclustering_tpu.pipeline.bounce import (
+                process_video_stream,
+            )
+
+            out = process_video_stream(args["path"], cfg, args["max_frames"])
+        else:
+            frames = read_video_bgr(args["path"], args["max_frames"])
+            # This CLI writes CSVs only (the reference's video write is
+            # commented out, `KmeanGrids.py:233-234`), so without overlays
+            # it takes the feature-only path: no rendered-video
+            # materialization, one packed device→host fetch.
+            out = process_frames(frames, cfg, overlays=overlays)
         hue_table = out["hue_table"]
         # Per-cell RGBA centroids ride the packed fetch — the fused run's
         # `-f`/addnew rows (`KmeanGrids.py:320-339`) are written on the

@@ -69,6 +69,12 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.ofc_mjpeg_avi_decode_flags.restype = ctypes.c_int
+        lib.ofc_mjpeg_avi_decode_flags.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -124,6 +130,105 @@ def decode_mjpeg_avi(path: str, max_frames: int | None = None) -> np.ndarray:
     if got < 0:
         raise ValueError(f"mjpeg decode failed (rc={got}): {path}")
     return out[:got]
+
+
+def stream_mjpeg_avi(
+    path: str,
+    chunk: int,
+    overlap: int = 1,
+    max_frames: int | None = None,
+    segment: int = 512,
+):
+    """Streaming native decode: yield [chunk+overlap, H, W, 3] uint8 BGR
+    batches (with `n_valid`, same contract as io/video.py
+    stream_video_chunks) while the C++ threaded decoder fills the buffer in
+    the background.
+
+    The decoder publishes per-frame done flags (release-ordered after the
+    pixels land, native/fastio.cpp ofc_mjpeg_avi_decode_flags); the
+    generator yields as soon as the contiguous done-prefix covers the next
+    chunk — so on a host whose native decode rate ≈ the device rate, decode
+    fully hides behind compute. Host memory is bounded by `segment` frames
+    per in-flight decode window, so arbitrarily long videos stream in
+    constant memory.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fastio unavailable")
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.ofc_mjpeg_avi_probe(path.encode(), ctypes.byref(n),
+                                 ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"not an MJPEG AVI (rc={rc}): {path}")
+    total = n.value if max_frames is None else min(n.value, max_frames)
+    h, w = h.value, w.value
+    segment = max(segment, chunk + overlap)
+
+    def frames_iter():
+        start = 0
+        while start < total:
+            count = min(segment, total - start)
+            buf = np.empty((count, h, w, 3), np.uint8)
+            done = np.zeros(count, np.uint8)
+            result: list[int] = []
+
+            def worker(buf=buf, done=done, result=result, start=start,
+                       count=count):
+                result.append(lib.ofc_mjpeg_avi_decode_flags(
+                    path.encode(),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    start, count, h, w, _threads(),
+                    done.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ))
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            emitted = 0
+            while emitted < count:
+                # contiguous done-prefix (x86 plain loads pair with the
+                # decoder's release fence; flags flip 0→1 exactly once)
+                nz = np.flatnonzero(done == 0)
+                avail = count if nz.size == 0 else int(nz[0])
+                if avail == emitted:
+                    if not t.is_alive():
+                        # finished without filling the prefix → decode error
+                        raise ValueError(
+                            f"mjpeg stream decode failed "
+                            f"(rc={result[0] if result else '?'}): {path}"
+                        )
+                    t.join(timeout=0.002)
+                    continue
+                for i in range(emitted, avail):
+                    yield buf[i]
+                emitted = avail
+            t.join()
+            if result and result[0] < 0:
+                raise ValueError(
+                    f"mjpeg stream decode failed (rc={result[0]}): {path}"
+                )
+            start += count
+
+    # chunk assembly: same contract as io/video.py stream_video_chunks
+    it = frames_iter()
+    carry: list[np.ndarray] = []
+    eof = False
+    while not eof:
+        frames = list(carry)
+        while len(frames) < chunk + overlap:
+            nxt = next(it, None)
+            if nxt is None:
+                eof = True
+                break
+            frames.append(nxt)
+        n_valid = max(0, len(frames) - overlap)
+        if n_valid == 0:
+            break
+        batch = np.zeros((chunk + overlap, h, w, 3), np.uint8)
+        batch[: len(frames)] = np.stack(frames)
+        yield batch, n_valid
+        carry = frames[chunk:]
 
 
 def is_mjpeg_avi(path: str) -> bool:

@@ -303,4 +303,38 @@ int ofc_mjpeg_avi_decode(const char* path, uint8_t* out, int max_frames,
   return rc.load() == kOk ? n : rc.load();
 }
 
+// Streaming decode: like ofc_mjpeg_avi_decode but (a) starts at frame
+// `start` of the container, and (b) publishes per-frame completion into
+// `done[count]` (0→1, release-ordered AFTER the frame's pixels land), so a
+// consumer thread can pipeline device work over the contiguous done-prefix
+// while later frames still decode. Returns frames decoded or a negative
+// error code.
+int ofc_mjpeg_avi_decode_flags(const char* path, uint8_t* out, int start,
+                               int count, int h, int w, int threads,
+                               uint8_t* done) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return kErrOpen;
+  std::vector<std::pair<size_t, size_t>> chunks;
+  if (!avi_video_chunks(buf, &chunks)) return kErrFormat;
+  int total = static_cast<int>(chunks.size());
+  if (start < 0 || start >= total) return kErrShape;
+  int n = total - start;
+  if (count > 0 && count < n) n = count;
+  std::atomic<int> rc{kOk};
+  parallel_for(n, threads, [&](int i) {
+    int st = decode_jpeg_one(buf.data() + chunks[start + i].first,
+                             chunks[start + i].second,
+                             out + static_cast<size_t>(i) * h * w * 3, h, w);
+    int expect = kOk;
+    if (st != kOk) rc.compare_exchange_strong(expect, st);
+    if (done) {
+      // release: the flag must not become visible before the pixels
+      std::atomic_thread_fence(std::memory_order_release);
+      reinterpret_cast<std::atomic<uint8_t>*>(done)[i].store(
+          1, std::memory_order_relaxed);
+    }
+  });
+  return rc.load() == kOk ? n : rc.load();
+}
+
 }  // extern "C"

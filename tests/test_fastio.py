@@ -79,3 +79,46 @@ def test_mjpeg_probe_and_sniff(tmp_path):
     write_video_mjpg(path, frames, 30.0)
     assert fastio.is_mjpeg_avi(path)
     assert not fastio.is_mjpeg_avi(__file__)
+
+
+def test_stream_mjpeg_avi_matches_batch_decode(tmp_path):
+    """Streaming done-flag decode (stream_mjpeg_avi) reassembles to exactly
+    the batch decode, across chunk sizes and with a segment boundary in the
+    middle (segment < total exercises the cross-segment carry)."""
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    127.5 + 110 * np.sin(yy / 7 + i / 2),
+                    127.5 + 110 * np.sin(xx / 9 + i / 3),
+                    127.5 + 110 * np.sin((xx + yy) / 11 + i),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(23)
+        ]
+    )
+    path = str(tmp_path / "clip.avi")
+    write_video_mjpg(path, frames, 30.0)
+    want = fastio.decode_mjpeg_avi(path)
+
+    for chunk, segment in ((4, 512), (4, 10), (7, 9)):
+        got = []
+        last = None
+        for batch, n_valid in fastio.stream_mjpeg_avi(
+            path, chunk, overlap=1, segment=segment
+        ):
+            assert batch.shape == (chunk + 1,) + want.shape[1:]
+            got.append(batch[:n_valid])
+            last = (batch, n_valid)
+        # chunk j contributes frames [j*chunk, j*chunk+n_valid); the final
+        # frame rides only in the last batch's overlap slot
+        got.append(last[0][last[1] : last[1] + 1])
+        out = np.concatenate(got)
+        assert out.shape == want.shape, (chunk, segment, out.shape)
+        assert np.array_equal(out, want), (chunk, segment)
+
+    # max_frames honored
+    chunks = list(fastio.stream_mjpeg_avi(path, 4, max_frames=6))
+    assert sum(v for _, v in chunks) == 5
