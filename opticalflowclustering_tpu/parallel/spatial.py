@@ -452,7 +452,14 @@ def spatial_farneback_flow(
         return flow
 
     sharded = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(spec, spec), out_specs=flow_spec
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=flow_spec,
+        # check_vma rejects pallas_call outputs (no vma on the kernel's
+        # ShapeDtypeStruct); the exact/fast warp paths run Pallas inside
+        # this shard_map on real TPUs.
+        check_vma=False,
     )
     return sharded(prev_img, next_img)
 

@@ -47,6 +47,32 @@ def _halo_pairs(gray_local: jnp.ndarray, axis_name: str):
     return gray_ext[:-1], gray_ext[1:]
 
 
+@functools.lru_cache(maxsize=64)
+def _temporal_shard_flow_fn(mesh: Mesh, axis_name: str, params: FarnebackParams):
+    """Jitted executable for temporal_shard_flow, memoized on the static
+    configuration. A bare shard_map call outside jit executes EAGERLY —
+    every traced op dispatches individually and nothing is cached across
+    calls — so all public entry points here route through cached jits."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+        # check_vma chokes on pallas_call outputs (no vma on the kernel's
+        # ShapeDtypeStruct) — the real-TPU 'fast'/'exact' warp path runs
+        # Pallas inside this shard_map, so the check must be off.
+        check_vma=False,
+    )
+    def step(frames_local):
+        gray = bgr2gray(frames_local)
+        prev, nxt = _halo_pairs(gray, axis_name)
+        return farneback_flow(prev, nxt, params)
+
+    return step
+
+
 def temporal_shard_flow(
     frames: jnp.ndarray,
     mesh: Mesh,
@@ -55,19 +81,37 @@ def temporal_shard_flow(
 ) -> jnp.ndarray:
     """Flow over a frame-sharded video: [N,H,W,3]u8 → [N,H,W,2] (row N-1 is
     the wrapped junk pair; drop it). N must divide by the axis size."""
+    return _temporal_shard_flow_fn(mesh, axis_name, params)(frames)
 
+
+@functools.lru_cache(maxsize=64)
+def _sharded_hue_pipeline_fn(
+    mesh: Mesh,
+    axis_name: str,
+    grid: GridParams,
+    params: FarnebackParams,
+    rb_swap: bool,
+):
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P(axis_name),
-        out_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,  # Pallas warp kernels run inside on real TPUs
     )
     def step(frames_local):
         gray = bgr2gray(frames_local)
         prev, nxt = _halo_pairs(gray, axis_name)
-        return farneback_flow(prev, nxt, params)
+        flow = farneback_flow(prev, nxt, params)
+        mag = magnitude(flow[..., 0], flow[..., 1])
+        mean_mag = jnp.mean(mag, axis=(-2, -1))
+        flow_bgr = render_flow_hsv_bgr(flow)
+        _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
+        rgb_hue = grid_mean_hue(flow_bgr, grid)
+        return hue, rgb_hue, mean_mag
 
-    return step(frames)
+    return step
 
 
 def sharded_hue_pipeline(
@@ -84,17 +128,39 @@ def sharded_hue_pipeline(
     data is [:N-1]. All stages after the single halo exchange are local to
     each chip; no other communication occurs.
     """
+    return _sharded_hue_pipeline_fn(mesh, axis_name, grid, params, rb_swap)(
+        frames
+    )
 
+
+@functools.lru_cache(maxsize=64)
+def _sharded_hue_pipeline_videos_fn(
+    mesh: Mesh,
+    dp_axis: str,
+    sp_axis: str,
+    grid: GridParams,
+    params: FarnebackParams,
+    rb_swap: bool,
+):
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        in_specs=P(dp_axis, sp_axis),
+        out_specs=(
+            P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis),
+        ),
+        check_vma=False,  # Pallas warp kernels run inside on real TPUs
     )
-    def step(frames_local):
-        gray = bgr2gray(frames_local)
-        prev, nxt = _halo_pairs(gray, axis_name)
-        flow = farneback_flow(prev, nxt, params)
+    def step(videos_local):  # [b_loc, n_loc, H, W, 3]
+        gray = bgr2gray(videos_local)
+        n_dev = jax.lax.axis_size(sp_axis)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        recv = jax.lax.ppermute(gray[:, :1], sp_axis, perm)
+        gray_ext = jnp.concatenate([gray, recv], axis=1)
+        flow = farneback_flow(gray_ext[:, :-1], gray_ext[:, 1:], params)
         mag = magnitude(flow[..., 0], flow[..., 1])
         mean_mag = jnp.mean(mag, axis=(-2, -1))
         flow_bgr = render_flow_hsv_bgr(flow)
@@ -102,7 +168,7 @@ def sharded_hue_pipeline(
         rgb_hue = grid_mean_hue(flow_bgr, grid)
         return hue, rgb_hue, mean_mag
 
-    return step(frames)
+    return step
 
 
 def sharded_hue_pipeline_videos(
@@ -120,34 +186,13 @@ def sharded_hue_pipeline_videos(
     (hue [B, N, cells], rgb_hue [B, N, cells], mean_mag [B, N]); row N-1 of
     each video is the wrapped junk pair (last frame against frame 0) —
     valid data is [:, :N-1]. Beyond the halo exchange everything is chip-
-    local; bitwise equal to the unsharded pipeline on any mesh shape
+    local; the hue feature tables are bitwise equal to the unsharded
+    pipeline on any mesh shape, the float mean-magnitude telemetry to
+    ~1 ulp (XLA fuses its hypot+mean chain per local shard shape)
     (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(dp_axis, sp_axis),
-        out_specs=(
-            P(dp_axis, sp_axis),
-            P(dp_axis, sp_axis),
-            P(dp_axis, sp_axis),
-        ),
-    )
-    def step(videos_local):  # [b_loc, n_loc, H, W, 3]
-        gray = bgr2gray(videos_local)
-        n_dev = jax.lax.axis_size(sp_axis)
-        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        recv = jax.lax.ppermute(gray[:, :1], sp_axis, perm)
-        gray_ext = jnp.concatenate([gray, recv], axis=1)
-        flow = farneback_flow(gray_ext[:, :-1], gray_ext[:, 1:], params)
-        mag = magnitude(flow[..., 0], flow[..., 1])
-        mean_mag = jnp.mean(mag, axis=(-2, -1))
-        flow_bgr = render_flow_hsv_bgr(flow)
-        _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
-        rgb_hue = grid_mean_hue(flow_bgr, grid)
-        return hue, rgb_hue, mean_mag
-
-    return step(videos)
+    return _sharded_hue_pipeline_videos_fn(
+        mesh, dp_axis, sp_axis, grid, params, rb_swap
+    )(videos)
 
 
 def unsharded_hue_pipeline_videos(

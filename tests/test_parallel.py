@@ -56,9 +56,22 @@ def test_sharded_video_batch_pipeline_mesh_invariant(dp, sp):
     mesh = make_mesh({"dp": dp, "sp": sp})
     grid = GridParams(4, 6)
     sharded = sharded_hue_pipeline_videos(vids, mesh, grid=grid)
-    local = unsharded_hue_pipeline_videos(vids, grid=grid)
-    for s, l in zip(sharded, local):
+    # The library entry is a cached jit; the oracle must be jitted too —
+    # an eager run dispatches op-by-op and XLA's whole-program fusion of
+    # the float mean-magnitude telemetry differs at ~1e-7 (the hue
+    # feature tables are integer math and bitwise either way).
+    local = jax.jit(
+        lambda v: unsharded_hue_pipeline_videos(v, grid=grid)
+    )(vids)
+    # Hue feature tables are integer math → bitwise on every mesh shape.
+    # mean_magnitude is float telemetry: XLA fuses the hypot+mean chain
+    # differently per local shard shape, so it is mesh-invariant only to
+    # ~1 ulp.
+    for s, l in zip(sharded[:2], local[:2]):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(l))
+    np.testing.assert_allclose(
+        np.asarray(sharded[2]), np.asarray(local[2]), rtol=1e-6
+    )
 
 
 def test_temporal_shard_flow_matches_batched():
