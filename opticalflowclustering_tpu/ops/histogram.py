@@ -6,10 +6,12 @@ histograms (`ColorHistograms/ColorHistograms.py:32-36`,
 (`FirstImageSearchEngine/rgbhistogram.py:8-13`), and the histogram-distance
 survey (`compare-histograms/comphis.py:27-40`).
 
-TPU-native design: a d-dimensional histogram is one one-hot matmul — pixels
-map to flat bin ids, and counting is `one_hot(ids) summed` which XLA lowers
-to an MXU-friendly scatter-free reduction. Masked variants just zero the
-one-hot rows.
+TPU-native design: a d-dimensional histogram maps pixels to flat bin ids
+and counts them — via a one-hot reduction (MXU-friendly, scatter-free)
+when n_pixels × n_bins is small, or a device scatter-add for large
+images where the one-hot intermediate would blow past VMEM/HBM budgets.
+Both orders produce bitwise-identical counts (integer-valued f32 sums).
+Masked variants zero the contribution of masked pixels.
 """
 
 from __future__ import annotations
@@ -45,9 +47,25 @@ def calc_hist(
         ids = ids + jnp.clip(b, 0, nb - 1) * stride
     if mask is not None:
         valid &= mask.astype(bool)
-    onehot = jax.nn.one_hot(ids, flat_bins, dtype=jnp.float32)
-    onehot = jnp.where(valid[..., None], onehot, 0.0)
-    hist = jnp.sum(onehot.reshape(-1, flat_bins), axis=0)
+    # Two bitwise-identical accumulators (counts are integer-valued and
+    # < 2^24, exact in f32 in any order):
+    #   * one-hot matmul-style reduction — MXU-friendly, but materializes
+    #     [n_pixels, flat_bins] f32 if XLA fails to fuse it (a 720p 3-D
+    #     hist would be >1 GB; measured 17 GB of kernel-time page churn
+    #     on the 25-image CBIR index before the gate existed);
+    #   * scatter-add into the bin table (invalid pixels land in an
+    #     overflow bin that is dropped), linear memory.
+    if ids.size * flat_bins <= 2**24:
+        onehot = jax.nn.one_hot(ids, flat_bins, dtype=jnp.float32)
+        onehot = jnp.where(valid[..., None], onehot, 0.0)
+        hist = jnp.sum(onehot.reshape(-1, flat_bins), axis=0)
+    else:
+        flat_ids = jnp.where(valid, ids, flat_bins).ravel()
+        hist = (
+            jnp.zeros(flat_bins + 1, jnp.float32)
+            .at[flat_ids]
+            .add(1.0)[:flat_bins]
+        )
     return hist.reshape(bins)
 
 

@@ -30,18 +30,21 @@ def bgr_domain():
     return _full_bgr_domain()
 
 
+@pytest.mark.oracle
 def test_bgr2gray_exhaustive(bgr_domain):
     want = cv2.cvtColor(bgr_domain, cv2.COLOR_BGR2GRAY)
     got = np.asarray(bgr2gray(bgr_domain))
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.oracle
 def test_bgr2hsv_exhaustive(bgr_domain):
     want = cv2.cvtColor(bgr_domain, cv2.COLOR_BGR2HSV)
     got = np.asarray(bgr2hsv(bgr_domain))
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.oracle
 def test_hsv2bgr_exhaustive_vs_large_image_path():
     # Full valid HSV domain: H in [0,180), S,V in [0,256). On large images
     # cv2+IPP dispatches to an IPP kernel that truncates where OpenCV's own

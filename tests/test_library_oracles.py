@@ -32,6 +32,8 @@ try:
 except ImportError:
     HAVE_MAHOTAS = False
 
+pytestmark = pytest.mark.oracle
+
 ENGINE = "/root/reference/FirstImageSearchEngine"
 
 

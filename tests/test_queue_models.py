@@ -92,7 +92,8 @@ def test_trainbounce_cli(tmp_path):
             sys.executable, "-m", "opticalflowclustering_tpu.cli.trainbounce",
             "--bounce", f"{REF}/bounce.csv",
             "--nobounce", f"{REF}/nobounce.csv",
-            "--steps", "60", "--out", str(out),
+            "--steps", "25", "--out", str(out),  # smoke: learning quality
+            # is pinned by test_train_on_hue_windows (150 steps, acc>.85)
         ],
         check=True, capture_output=True, text=True,
     )

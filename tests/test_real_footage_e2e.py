@@ -17,9 +17,12 @@ import pytest
 REF = "/root/reference/k-means-color-clustering"
 GRID_ROWS, GRID_COLS = 14, 25
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference data unavailable"
-)
+pytestmark = [
+    pytest.mark.oracle,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference data unavailable"
+    ),
+]
 
 
 @pytest.fixture(scope="module")
