@@ -75,6 +75,9 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        if hasattr(lib, "ofc_acquire_fence"):
+            lib.ofc_acquire_fence.restype = None
+            lib.ofc_acquire_fence.argtypes = []
         _lib = lib
         return _lib
 
@@ -155,84 +158,122 @@ def stream_mjpeg_avi(
     lib = _load()
     if lib is None:
         raise RuntimeError("native fastio unavailable")
+    probe = probe_mjpeg_avi(path)
+    if probe is None:
+        raise ValueError(f"not an MJPEG AVI: {path}")
+    total, h, w = probe
+    if max_frames is not None:
+        total = min(total, max_frames)
+    segment = max(segment, chunk + overlap)
+
+    class _Segment:
+        """One in-flight decode window: a buffer the C++ threads fill plus
+        the per-frame done flags they publish."""
+
+        def __init__(self, start: int, count: int):
+            self.count = count
+            self.buf = np.empty((count, h, w, 3), np.uint8)
+            self.done = np.zeros(count, np.uint8)
+            self.result: list[int] = []
+            self.thread = threading.Thread(
+                target=self._work, args=(start,), daemon=True
+            )
+            self.thread.start()
+
+        def _work(self, start: int):
+            self.result.append(lib.ofc_mjpeg_avi_decode_flags(
+                path.encode(),
+                self.buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                start, self.count, h, w, _threads(),
+                self.done.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ))
+
+        def avail(self) -> int:
+            """Contiguous done-prefix length. Follow with an acquire fence
+            before touching buf rows — plain numpy loads pair with the
+            decoder's release fence on x86 only."""
+            nz = np.flatnonzero(self.done == 0)
+            n = self.count if nz.size == 0 else int(nz[0])
+            if n and hasattr(lib, "ofc_acquire_fence"):
+                lib.ofc_acquire_fence()
+            return n
+
+        def check_rc(self):
+            if self.result and self.result[0] < 0:
+                raise ValueError(
+                    f"mjpeg stream decode failed (rc={self.result[0]}): "
+                    f"{path}"
+                )
+
+    def frames_iter():
+        # Double-buffered decode windows: segment k+1's decoder starts as
+        # soon as segment k's decode THREAD exits (not when the consumer
+        # finishes draining k), so the decoder never idles at a segment
+        # boundary. At most 2 segment buffers are live.
+        start = 0
+        cur = _Segment(start, min(segment, total - start)) if total else None
+        start = cur.count if cur else 0
+        while cur is not None:
+            nxt = None
+            emitted = 0
+            while emitted < cur.count:
+                avail = cur.avail()
+                if nxt is None and start < total and not cur.thread.is_alive():
+                    nxt = _Segment(start, min(segment, total - start))
+                    start += nxt.count
+                if avail == emitted:
+                    alive = cur.thread.is_alive()
+                    # re-scan AFTER the liveness check: the decoder may
+                    # have published the remaining flags and exited
+                    # between the scan above and is_alive() (TOCTOU).
+                    avail = cur.avail()
+                    if avail == emitted:
+                        if not alive:
+                            cur.check_rc()  # negative rc raises with detail
+                            raise ValueError(
+                                "mjpeg stream decode ended with an "
+                                f"incomplete prefix ({emitted}/{cur.count})"
+                                f": {path}"
+                            )
+                        cur.thread.join(timeout=0.002)
+                        continue
+                for i in range(emitted, avail):
+                    yield cur.buf[i]
+                emitted = avail
+            cur.thread.join()
+            cur.check_rc()
+            if nxt is None and start < total:
+                nxt = _Segment(start, min(segment, total - start))
+                start += nxt.count
+            cur = nxt
+
+    from opticalflowclustering_tpu.io.video import assemble_chunks
+
+    yield from assemble_chunks(frames_iter(), chunk, overlap)
+
+
+def probe_mjpeg_avi(path: str) -> tuple[int, int, int] | None:
+    """Full native probe (container + MJPEG codec): (n_frames, h, w), or
+    None if the file isn't a decodable MJPEG AVI / the runtime is absent.
+    This is the gate for the native streaming path — the RIFF magic alone
+    is not enough (an xvid AVI passes the sniff but fails the jpeg
+    probe)."""
+    lib = _load()
+    if lib is None:
+        return None
     n = ctypes.c_int()
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.ofc_mjpeg_avi_probe(path.encode(), ctypes.byref(n),
                                  ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        raise ValueError(f"not an MJPEG AVI (rc={rc}): {path}")
-    total = n.value if max_frames is None else min(n.value, max_frames)
-    h, w = h.value, w.value
-    segment = max(segment, chunk + overlap)
-
-    def frames_iter():
-        start = 0
-        while start < total:
-            count = min(segment, total - start)
-            buf = np.empty((count, h, w, 3), np.uint8)
-            done = np.zeros(count, np.uint8)
-            result: list[int] = []
-
-            def worker(buf=buf, done=done, result=result, start=start,
-                       count=count):
-                result.append(lib.ofc_mjpeg_avi_decode_flags(
-                    path.encode(),
-                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    start, count, h, w, _threads(),
-                    done.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                ))
-
-            t = threading.Thread(target=worker, daemon=True)
-            t.start()
-            emitted = 0
-            while emitted < count:
-                # contiguous done-prefix (x86 plain loads pair with the
-                # decoder's release fence; flags flip 0→1 exactly once)
-                nz = np.flatnonzero(done == 0)
-                avail = count if nz.size == 0 else int(nz[0])
-                if avail == emitted:
-                    if not t.is_alive():
-                        # finished without filling the prefix → decode error
-                        raise ValueError(
-                            f"mjpeg stream decode failed "
-                            f"(rc={result[0] if result else '?'}): {path}"
-                        )
-                    t.join(timeout=0.002)
-                    continue
-                for i in range(emitted, avail):
-                    yield buf[i]
-                emitted = avail
-            t.join()
-            if result and result[0] < 0:
-                raise ValueError(
-                    f"mjpeg stream decode failed (rc={result[0]}): {path}"
-                )
-            start += count
-
-    # chunk assembly: same contract as io/video.py stream_video_chunks
-    it = frames_iter()
-    carry: list[np.ndarray] = []
-    eof = False
-    while not eof:
-        frames = list(carry)
-        while len(frames) < chunk + overlap:
-            nxt = next(it, None)
-            if nxt is None:
-                eof = True
-                break
-            frames.append(nxt)
-        n_valid = max(0, len(frames) - overlap)
-        if n_valid == 0:
-            break
-        batch = np.zeros((chunk + overlap, h, w, 3), np.uint8)
-        batch[: len(frames)] = np.stack(frames)
-        yield batch, n_valid
-        carry = frames[chunk:]
+    if rc != 0 or n.value <= 0:
+        return None
+    return n.value, h.value, w.value
 
 
 def is_mjpeg_avi(path: str) -> bool:
-    """Cheap container sniff: RIFF/AVI magic."""
+    """Cheap container sniff: RIFF/AVI magic. Codec is NOT checked — use
+    probe_mjpeg_avi() to gate the native decode path."""
     try:
         with open(path, "rb") as f:
             head = f.read(12)

@@ -75,6 +75,33 @@ def video_fps(path: str) -> float:
     return float(fps) if fps and fps > 0 else 30.0
 
 
+def assemble_chunks(frames_iter, chunk: int, overlap: int):
+    """THE chunk/carry/pad contract, shared by every streaming decode path
+    (cv2 here; native MJPEG in io/fastio.py): consume an iterator of
+    [H, W, 3] uint8 frames and yield ([chunk+overlap, H, W, 3], n_valid)
+    batches where consecutive batches share `overlap` trailing frames and
+    the final batch is zero-padded to the fixed shape. One implementation
+    so the two stream paths cannot drift from the bit-identity contract
+    pinned in tests/test_pipeline_stream.py."""
+    carry: list[np.ndarray] = []
+    eof = False
+    while not eof:
+        frames = list(carry)
+        while len(frames) < chunk + overlap:
+            nxt = next(frames_iter, None)
+            if nxt is None:
+                eof = True
+                break
+            frames.append(nxt)
+        n_valid = max(0, len(frames) - overlap)
+        if n_valid == 0:
+            break
+        batch = np.zeros((chunk + overlap,) + frames[0].shape, np.uint8)
+        batch[: len(frames)] = np.stack(frames)
+        yield batch, n_valid
+        carry = frames[chunk:]
+
+
 def stream_video_chunks(
     path: str,
     chunk: int,
@@ -102,30 +129,22 @@ def stream_video_chunks(
         try:
             if not cap.isOpened():
                 raise FileNotFoundError(f"cannot open video: {path}")
-            carry: list[np.ndarray] = []
-            decoded = 0
-            eof = False
-            while not eof and not stop.is_set():
-                frames = list(carry)
-                while len(frames) < chunk + overlap:
+
+            def frames():
+                decoded = 0
+                while not stop.is_set():
                     if max_frames is not None and decoded >= max_frames:
-                        eof = True
-                        break
+                        return
                     ret, frame = cap.read()
                     if not ret:
-                        eof = True
-                        break
+                        return
                     decoded += 1
-                    frames.append(frame)
-                n_valid = max(0, len(frames) - overlap)
-                if n_valid == 0:
+                    yield frame
+
+            for item in assemble_chunks(frames(), chunk, overlap):
+                q.put(item)
+                if stop.is_set():
                     break
-                batch = np.zeros(
-                    (chunk + overlap,) + frames[0].shape, np.uint8
-                )
-                batch[: len(frames)] = np.stack(frames)
-                q.put((batch, n_valid))
-                carry = frames[chunk:]
             q.put(None)
         except BaseException as e:  # surface on the consumer side
             q.put(e)

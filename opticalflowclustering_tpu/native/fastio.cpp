@@ -337,4 +337,13 @@ int ofc_mjpeg_avi_decode_flags(const char* path, uint8_t* out, int start,
   return rc.load() == kOk ? n : rc.load();
 }
 
+// Acquire side of the done-flag handshake above: the Python consumer reads
+// `done` with plain numpy loads, which pair with the producer's release
+// fence on x86 (loads are not reordered) but NOT on weakly-ordered CPUs
+// (aarch64) — the consumer must call this after observing new flags and
+// before touching the corresponding pixels, or it can read stale bytes.
+void ofc_acquire_fence() {
+  std::atomic_thread_fence(std::memory_order_acquire);
+}
+
 }  // extern "C"

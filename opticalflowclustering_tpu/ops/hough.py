@@ -126,7 +126,13 @@ def hough_circles_device(
 
     rs, has_r = jax.vmap(radius_for)(cxs, cys)
     circles = jnp.stack([cxs, cys, rs], axis=-1)
-    return circles, oks & has_r
+    valid = oks & has_r
+    # `oks` is monotone (NMS zeroes peaks in descending order) but has_r
+    # can be False for an earlier peak whose edge support all falls inside
+    # min_radius after dp-rounding — stably compact the valid rows forward
+    # so the documented all-True-then-all-False invariant holds.
+    order = jnp.argsort(~valid, stable=True)
+    return circles[order], valid[order]
 
 
 def hough_circles(

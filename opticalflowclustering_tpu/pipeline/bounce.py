@@ -306,7 +306,10 @@ def process_video_stream(
     if native:
         from opticalflowclustering_tpu.io import fastio
 
-        if not (fastio.is_mjpeg_avi(path) and fastio.available()):
+        # Full probe (container + MJPEG codec), not just the RIFF sniff:
+        # an xvid/h264 AVI passes the magic check but fails jpeg decode —
+        # those must fall back to the cv2 stream, not raise mid-stream.
+        if not (fastio.available() and fastio.probe_mjpeg_avi(path)):
             native = False  # cv2 stream handles every other container
 
     if native:

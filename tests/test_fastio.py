@@ -79,6 +79,39 @@ def test_mjpeg_probe_and_sniff(tmp_path):
     write_video_mjpg(path, frames, 30.0)
     assert fastio.is_mjpeg_avi(path)
     assert not fastio.is_mjpeg_avi(__file__)
+    assert fastio.probe_mjpeg_avi(path) == (3, 32, 32)
+    assert fastio.probe_mjpeg_avi(__file__) is None
+
+
+def test_non_mjpeg_avi_falls_back_to_cv2(tmp_path):
+    """An AVI whose codec isn't MJPEG passes the RIFF sniff but must NOT
+    be routed to the native decoder: probe_mjpeg_avi rejects it, and
+    process_video_stream(native=True) silently falls back to the cv2
+    stream instead of raising mid-stream."""
+    import cv2
+
+    from opticalflowclustering_tpu.pipeline.bounce import (
+        PipelineConfig,
+        process_video_stream,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(6, 48, 64, 3), dtype=np.uint8)
+    path = str(tmp_path / "x.avi")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"XVID"), 30.0, (64, 48)
+    )
+    if not wr.isOpened():
+        pytest.skip("XVID writer unavailable")
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    assert fastio.is_mjpeg_avi(path)  # the sniff alone would mis-route
+    assert fastio.probe_mjpeg_avi(path) is None
+    out = process_video_stream(
+        path, PipelineConfig(chunk=4, emit_flow_bgr=False), native=True
+    )
+    assert out["hue_table"].shape[0] == 5  # decoded fine via cv2
 
 
 def test_stream_mjpeg_avi_matches_batch_decode(tmp_path):
