@@ -319,9 +319,27 @@ def _cpu_reference_pass(frames: np.ndarray, n_frames: int) -> float:
     return n_frames / dt
 
 
+RESOLUTIONS = {"720p": (720, 1280), "1080p": (1080, 1920), "1440p": (1440, 2560)}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--res",
+        choices=sorted(RESOLUTIONS),
+        default="720p",
+        help="frame geometry; the driver's headline is 720p (the flagship "
+        "clip geometry); 1440p reproduces the resolution-scaling "
+        "datapoint in docs/ARCHITECTURE.md",
+    )
+    args = ap.parse_args()
+    global H, W
+    H, W = RESOLUTIONS[args.res]
+
     _enable_compile_cache()
-    frames = synth_frames()
+    frames = synth_frames(h=H, w=W)
     cpu_fps = bench_cpu_reference(frames)
     print(f"cpu reference (10 frames): {cpu_fps:.3f} fps", file=sys.stderr)
     tpu_fps = bench_tpu(frames)
@@ -331,7 +349,7 @@ def main():
           f"(spread {abs(tpu_fps - tpu_fps2) / tpu_fps * 100:.1f}%)",
           file=sys.stderr)
     tpu_fps = max(tpu_fps, tpu_fps2)
-    noise_fps = bench_tpu(noise_frames(), repeats=2)
+    noise_fps = bench_tpu(noise_frames(h=H, w=W), repeats=2)
     print(
         f"tpu pipeline on pure-noise frames (pathological candidate "
         f"ranges): {noise_fps:.1f} fps",
@@ -371,7 +389,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e flow+grid+cluster throughput (720p, 49-frame clip)",
+                "metric": (
+                    "e2e flow+grid+cluster throughput "
+                    f"({args.res}, 49-frame clip)"
+                ),
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(tpu_fps / cpu_fps, 1),
