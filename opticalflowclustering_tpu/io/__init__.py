@@ -1,5 +1,7 @@
 from opticalflowclustering_tpu.io.video import (
+    assemble_chunks,
     read_video_bgr,
+    stream_video_chunks,
     video_fps,
     write_video_mjpg,
 )
