@@ -376,7 +376,8 @@ def main():
     h2d = bench_h2d_roofline(frames)
     print(
         f"host->device ingest roofline: {h2d['h2d_MBps']:.0f} MB/s measured "
-        f"({h2d['frame_mb']:.2f} MB/720p frame -> {h2d['h2d_bound_fps']:.1f} "
+        f"({h2d['frame_mb']:.2f} MB/{args.res} frame -> "
+        f"{h2d['h2d_bound_fps']:.1f} "
         "fps cap on this tunneled dev box; production PCIe >=8 GB/s makes "
         "this >2900 fps). The decode-inclusive numbers above are bound by "
         "min(device, cores x decode, h2d).",
