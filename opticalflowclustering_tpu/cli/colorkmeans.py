@@ -62,8 +62,20 @@ def main(argv=None):
         bgr = centroids[:, :3].astype(np.uint8).reshape(-1, 1, 1, 3)
         hues = np.asarray(bgr2hsv(jnp.asarray(bgr)))[:, 0, 0, 0]
 
-    names = [os.path.basename(p) for p in paths]
-    append_cluster_centers_rows(args.csv, names, np.asarray(centroids), hues)
+    # Row name: basename for the single-image entry (`color_kmeans.py:133`);
+    # the directory variant writes the image PATH as traversed
+    # (`color_kmeansChange.py:135`).
+    names = (
+        [os.path.basename(p) for p in paths] if args.image else list(paths)
+    )
+    # Both color_kmeans variants write the header when the (reference:
+    # hard-coded; here: actual target) CSV is new/empty
+    # (`color_kmeans.py:107-110`, `color_kmeansChange.py:108-110`); the
+    # fused KmeanGrids path has it commented out (`KmeanGrids.py:321-323`)
+    # so addnew.csv stays headerless.
+    append_cluster_centers_rows(
+        args.csv, names, np.asarray(centroids), hues, header=True
+    )
     for name, cen, hue in zip(names, np.asarray(centroids), np.asarray(hues)):
         print(name, np.asarray(cen, np.float64), int(hue))
 

@@ -47,14 +47,27 @@ def append_cluster_centers_rows(
     names: list[str],
     centroids: np.ndarray,
     hues: np.ndarray,
+    header: bool = False,
 ) -> None:
     """cluster_centers.csv / addnew.csv contract: one appended row per image:
     `name, str(rint(centroid_rgba)), str(hsv_1x1x3), hue`
-    (`color_kmeans.py:105-133`)."""
+    (`color_kmeans.py:105-133`).
+
+    header=True writes `File name,Cluster 1,HSV Cluster 1,Hue 0` when the
+    target is new/empty — the reference guards this on the HARD-CODED
+    `cluster_centers.csv` (`color_kmeans.py:107`, quirk §2.5 #4: crashes
+    when that file is absent and headers addnew.csv only by accident of
+    its existence). Here the guard checks the actual target, so the
+    committed artifacts reproduce deterministically: cluster_centers.csv
+    has the header (color_kmeans path, header=True), addnew.csv does not
+    (fused KmeanGrids path, header=False)."""
     centroids = np.asarray(centroids)
     hues = np.asarray(hues)
+    fresh = not os.path.exists(path) or os.stat(path).st_size == 0
     with open(path, "a", newline="") as f:
         w = csv.writer(f)
+        if header and fresh:
+            w.writerow(["File name", "Cluster 1", "HSV Cluster 1", "Hue 0"])
         for name, cen, hue in zip(names, centroids, hues):
             cen_f = np.asarray(cen, dtype=np.float64)
             c0, c1, c2 = int(cen_f[0]), int(cen_f[1]), int(cen_f[2])

@@ -54,8 +54,11 @@ def test_colorkmeans_directory_and_k2(tmp_path):
     r = _run("colorkmeans", "-d", str(d), "-c", "2", "-f", "k2.csv",
              cwd=tmp_path)
     lines = (tmp_path / "k2.csv").read_text().strip().splitlines()
-    assert len(lines) == 3
-    assert "crop_0.png" in lines[0]
+    # header on a fresh target (`color_kmeansChange.py:108-110`), then
+    # one row per image naming the full traversed path (`:135`)
+    assert lines[0] == "File name,Cluster 1,HSV Cluster 1,Hue 0"
+    assert len(lines) == 4
+    assert lines[1].split(",")[0] == str(d / "crop_0.png")
 
 
 def test_superpixels_cli(tmp_path):

@@ -48,6 +48,32 @@ def test_cluster_centers_row_bytes_match_addnew(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
+def test_cluster_centers_header_semantics(tmp_path):
+    """header=True writes the committed cluster_centers.csv header line
+    byte-for-byte on a fresh target only; header=False (the fused
+    KmeanGrids path) stays headerless like the committed addnew.csv."""
+    from opticalflowclustering_tpu.compat.writers import (
+        append_cluster_centers_rows,
+    )
+
+    want_header = open(f"{REF}/cluster_centers.csv").readline().rstrip("\n")
+    cen = np.array([[0.0, 0.0, 0.0, 0.0]])
+    hue = np.array([0])
+
+    with_h = tmp_path / "cluster_centers.csv"
+    append_cluster_centers_rows(str(with_h), ["a.png"], cen, hue, header=True)
+    append_cluster_centers_rows(str(with_h), ["b.png"], cen, hue, header=True)
+    lines = with_h.read_text().strip().splitlines()
+    assert lines[0] == want_header  # exactly once, only when fresh
+    assert len(lines) == 3
+
+    no_h = tmp_path / "addnew.csv"
+    append_cluster_centers_rows(str(no_h), ["c.png"], cen, hue)
+    first = no_h.read_text().splitlines()[0]
+    assert first.startswith("c.png,")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data unavailable")
 def test_outcsv_serialization_bytes():
     """write_hue_table_csv output bytes match the committed OutCSV header
     and first row exactly."""
