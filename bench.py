@@ -120,7 +120,7 @@ def bench_epe_vs_cv2(frames: np.ndarray) -> tuple[float, int]:
         from opticalflowclustering_tpu.ops.colorspace import bgr2gray
 
         gray = np.asarray(jax.jit(bgr2gray)(frames[:13]))
-        pairs = [(gray[i], gray[i + 1]) for i in range(12)]
+        pairs = [(gray[i], gray[i + 1]) for i in range(len(gray) - 1)]
     worst = 0.0
     jits = {}
     for a, b in pairs:
@@ -152,10 +152,11 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
     dev = jax.device_put(chunks)
 
     def run():
-        # Device→host fetch of the actual products (the packed feature
-        # table — hue | rgb_hue | mean_mag in one f32 array, one tunnel
-        # round-trip) is the completion barrier — block_until_ready can
-        # return at enqueue time on remote/tunneled runtimes.
+        # Device→host fetch of the actual products (the packed uint8
+        # feature table — hue | rgb_hue | RGBA centroids | bitcast
+        # mean_mag, one tunnel round-trip) is the completion barrier —
+        # block_until_ready can return at enqueue time on remote/tunneled
+        # runtimes.
         return np.asarray(_video_step(dev, cfg))
 
     run()  # compile + warm
@@ -351,8 +352,10 @@ def main():
 
     _enable_compile_cache()
     frames = synth_frames(n=N, h=H, w=W)
-    cpu_fps = bench_cpu_reference(frames, n_frames=min(10, N - 1))
-    print(f"cpu reference (10 frames): {cpu_fps:.3f} fps", file=sys.stderr)
+    n_cpu = min(10, N - 1)
+    cpu_fps = bench_cpu_reference(frames, n_frames=n_cpu)
+    print(f"cpu reference ({n_cpu} frames): {cpu_fps:.3f} fps",
+          file=sys.stderr)
     tpu_fps = bench_tpu(frames)
     print(f"tpu pipeline: {tpu_fps:.1f} fps", file=sys.stderr)
     tpu_fps2 = bench_tpu(frames)

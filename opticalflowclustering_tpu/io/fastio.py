@@ -141,6 +141,7 @@ def stream_mjpeg_avi(
     overlap: int = 1,
     max_frames: int | None = None,
     segment: int = 512,
+    probe: tuple[int, int, int] | None = None,
 ):
     """Streaming native decode: yield [chunk+overlap, H, W, 3] uint8 BGR
     batches (with `n_valid`, same contract as io/video.py
@@ -151,14 +152,20 @@ def stream_mjpeg_avi(
     pixels land, native/fastio.cpp ofc_mjpeg_avi_decode_flags); the
     generator yields as soon as the contiguous done-prefix covers the next
     chunk — so on a host whose native decode rate ≈ the device rate, decode
-    fully hides behind compute. Host memory is bounded by `segment` frames
-    per in-flight decode window, so arbitrarily long videos stream in
-    constant memory.
+    fully hides behind compute. Host memory really is bounded by the two
+    in-flight `segment`-frame decode windows: the container index is built
+    with a seek-based header sweep (cached per path in the C++ runtime)
+    and each window freads only its own byte span — the file is never
+    loaded whole, so arbitrarily long videos stream in constant memory.
+
+    `probe` forwards an earlier probe_mjpeg_avi() result so gate + stream
+    don't probe twice.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native fastio unavailable")
-    probe = probe_mjpeg_avi(path)
+    if probe is None:
+        probe = probe_mjpeg_avi(path)
     if probe is None:
         raise ValueError(f"not an MJPEG AVI: {path}")
     total, h, w = probe

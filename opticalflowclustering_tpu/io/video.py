@@ -45,7 +45,14 @@ def read_video_bgr(
     if native:
         from opticalflowclustering_tpu.io import fastio
 
-        if fastio.is_mjpeg_avi(path) and fastio.available():
+        # Same gate as the streaming path: cheap RIFF sniff, then the full
+        # codec probe — a non-MJPEG AVI falls back to cv2 instead of
+        # raising from the native decoder.
+        if (
+            fastio.is_mjpeg_avi(path)
+            and fastio.available()
+            and fastio.probe_mjpeg_avi(path)
+        ):
             return fastio.decode_mjpeg_avi(path, max_frames)
     import cv2
 

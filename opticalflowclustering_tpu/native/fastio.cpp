@@ -20,12 +20,18 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#include <sys/stat.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <map>
+#include <mutex>
+#include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -195,39 +201,109 @@ bool tag_is(const uint8_t* p, const char* t) {
   return std::memcmp(p, t, 4) == 0;
 }
 
-// Collect the (offset, size) of every video chunk ('00dc'/'00db') in the
-// movi LIST of an AVI (the container cv2.VideoWriter MJPG produces).
-bool avi_video_chunks(const std::vector<uint8_t>& buf,
-                      std::vector<std::pair<size_t, size_t>>* chunks) {
-  if (buf.size() < 12 || !tag_is(buf.data(), "RIFF") ||
-      !tag_is(buf.data() + 8, "AVI "))
-    return false;
-  size_t pos = 12;
-  while (pos + 8 <= buf.size()) {
-    const uint8_t* p = buf.data() + pos;
-    uint32_t sz = rd32(p + 4);
-    if (tag_is(p, "LIST") && pos + 12 <= buf.size()) {
-      if (tag_is(p + 8, "movi")) {
-        size_t mp = pos + 12;
-        size_t mend = pos + 8 + sz;
-        if (mend > buf.size()) mend = buf.size();
-        while (mp + 8 <= mend) {
-          const uint8_t* c = buf.data() + mp;
-          uint32_t csz = rd32(c + 4);
-          if ((c[2] == 'd' && (c[3] == 'c' || c[3] == 'b')) &&
-              mp + 8 + csz <= buf.size()) {
-            chunks->emplace_back(mp + 8, csz);
+// Seek-based index pass: walk the RIFF tree reading only box/chunk
+// HEADERS (8–12 bytes each) and fseek past payloads — O(n_frames) memory
+// regardless of file size, one sequential metadata sweep of the disk.
+// Accepts the '00dc'/'00db' video chunks of the movi LIST (the container
+// cv2.VideoWriter MJPG produces).
+bool index_avi_file(const char* path,
+                    std::vector<std::pair<size_t, size_t>>* chunks) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  bool ok = false;
+  uint8_t hdr[12];
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize >= 12 && std::fread(hdr, 1, 12, f) == 12 &&
+      tag_is(hdr, "RIFF") && tag_is(hdr + 8, "AVI ")) {
+    long pos = 12;
+    while (pos + 8 <= fsize) {
+      uint8_t bh[12];
+      std::fseek(f, pos, SEEK_SET);
+      size_t got = std::fread(bh, 1, 12, f);
+      if (got < 8) break;
+      uint32_t sz = rd32(bh + 4);
+      if (tag_is(bh, "LIST") && got == 12) {
+        if (tag_is(bh + 8, "movi")) {
+          long mp = pos + 12;
+          long mend = pos + 8 + static_cast<long>(sz);
+          if (mend > fsize) mend = fsize;
+          while (mp + 8 <= mend) {
+            uint8_t ch[8];
+            std::fseek(f, mp, SEEK_SET);
+            if (std::fread(ch, 1, 8, f) != 8) break;
+            uint32_t csz = rd32(ch + 4);
+            if ((ch[2] == 'd' && (ch[3] == 'c' || ch[3] == 'b')) &&
+                mp + 8 + static_cast<long>(csz) <= fsize) {
+              chunks->emplace_back(static_cast<size_t>(mp + 8),
+                                   static_cast<size_t>(csz));
+            }
+            mp += 8 + static_cast<long>(csz) + (csz & 1);
           }
-          mp += 8 + csz + (csz & 1);  // chunks are word-aligned
+          ok = !chunks->empty();
+          break;
         }
-        return !chunks->empty();
+        pos += 12;  // descend into other LISTs (hdrl etc.)
+        continue;
       }
-      pos += 12;  // descend into other LISTs (hdrl etc.)
-      continue;
+      pos += 8 + static_cast<long>(sz) + (sz & 1);
     }
-    pos += 8 + sz + (sz & 1);
   }
-  return false;
+  std::fclose(f);
+  return ok;
+}
+
+// Per-path chunk-index cache (validated by mtime+size) so streaming
+// consumers don't re-parse the container per probe/segment. Entries are
+// copied out under the lock — a concurrent refresh can't invalidate a
+// reader's view.
+struct AviIndex {
+  int64_t mtime;
+  int64_t fsize;
+  std::vector<std::pair<size_t, size_t>> chunks;
+};
+std::mutex g_avi_mu;
+std::map<std::string, AviIndex>& avi_cache() {
+  static std::map<std::string, AviIndex>* m = new std::map<std::string, AviIndex>();
+  return *m;
+}
+
+bool avi_index_cached(const char* path,
+                      std::vector<std::pair<size_t, size_t>>* chunks) {
+  struct stat st;
+  if (::stat(path, &st) != 0) return false;
+  {
+    std::lock_guard<std::mutex> lk(g_avi_mu);
+    auto it = avi_cache().find(path);
+    if (it != avi_cache().end() &&
+        it->second.mtime == static_cast<int64_t>(st.st_mtime) &&
+        it->second.fsize == static_cast<int64_t>(st.st_size)) {
+      *chunks = it->second.chunks;
+      return true;
+    }
+  }
+  std::vector<std::pair<size_t, size_t>> fresh;
+  if (!index_avi_file(path, &fresh)) return false;
+  {
+    std::lock_guard<std::mutex> lk(g_avi_mu);
+    avi_cache()[path] = AviIndex{static_cast<int64_t>(st.st_mtime),
+                                 static_cast<int64_t>(st.st_size), fresh};
+  }
+  *chunks = std::move(fresh);
+  return true;
+}
+
+// Read file bytes [lo, hi) — the working set of one decode window.
+bool read_span(const char* path, size_t lo, size_t hi,
+               std::vector<uint8_t>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  out->resize(hi - lo);
+  bool ok = std::fseek(f, static_cast<long>(lo), SEEK_SET) == 0 &&
+            std::fread(out->data(), 1, out->size(), f) == out->size();
+  std::fclose(f);
+  return ok;
 }
 
 template <typename Fn>
@@ -272,35 +348,30 @@ int ofc_decode_png_batch(const char** paths, int n, uint8_t* out, int h,
 }
 
 // Probe an MJPEG AVI: frame count and dimensions (from the first frame).
+// Uses the cached seek-based index + a first-chunk span read — O(n_frames)
+// memory, never the whole file.
 int ofc_mjpeg_avi_probe(const char* path, int* n, int* h, int* w) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return kErrOpen;
   std::vector<std::pair<size_t, size_t>> chunks;
-  if (!avi_video_chunks(buf, &chunks)) return kErrFormat;
-  if (!jpeg_probe(buf.data() + chunks[0].first, chunks[0].second, h, w))
-    return kErrFormat;
+  if (!avi_index_cached(path, &chunks)) return kErrFormat;
+  std::vector<uint8_t> first;
+  if (!read_span(path, chunks[0].first, chunks[0].first + chunks[0].second,
+                 &first))
+    return kErrOpen;
+  if (!jpeg_probe(first.data(), first.size(), h, w)) return kErrFormat;
   *n = static_cast<int>(chunks.size());
   return kOk;
 }
 
 // Decode up to max_frames of an MJPEG AVI into out[n, h, w, 3] BGR.
 // Returns the number of frames decoded, or a negative error code.
+int ofc_mjpeg_avi_decode_flags(const char* path, uint8_t* out, int start,
+                               int count, int h, int w, int threads,
+                               uint8_t* done);
+
 int ofc_mjpeg_avi_decode(const char* path, uint8_t* out, int max_frames,
                          int h, int w, int threads) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return kErrOpen;
-  std::vector<std::pair<size_t, size_t>> chunks;
-  if (!avi_video_chunks(buf, &chunks)) return kErrFormat;
-  int n = static_cast<int>(chunks.size());
-  if (max_frames > 0 && max_frames < n) n = max_frames;
-  std::atomic<int> rc{kOk};
-  parallel_for(n, threads, [&](int i) {
-    int st = decode_jpeg_one(buf.data() + chunks[i].first, chunks[i].second,
-                             out + static_cast<size_t>(i) * h * w * 3, h, w);
-    int expect = kOk;
-    if (st != kOk) rc.compare_exchange_strong(expect, st);
-  });
-  return rc.load() == kOk ? n : rc.load();
+  return ofc_mjpeg_avi_decode_flags(path, out, 0, max_frames, h, w, threads,
+                                    nullptr);
 }
 
 // Streaming decode: like ofc_mjpeg_avi_decode but (a) starts at frame
@@ -312,17 +383,27 @@ int ofc_mjpeg_avi_decode(const char* path, uint8_t* out, int max_frames,
 int ofc_mjpeg_avi_decode_flags(const char* path, uint8_t* out, int start,
                                int count, int h, int w, int threads,
                                uint8_t* done) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return kErrOpen;
   std::vector<std::pair<size_t, size_t>> chunks;
-  if (!avi_video_chunks(buf, &chunks)) return kErrFormat;
+  if (!avi_index_cached(path, &chunks)) return kErrFormat;
   int total = static_cast<int>(chunks.size());
   if (start < 0 || start >= total) return kErrShape;
   int n = total - start;
   if (count > 0 && count < n) n = count;
+  // Read only this window's byte span — memory is O(segment bytes), not
+  // O(file); the cached index means no per-window container re-parse.
+  size_t lo = chunks[start].first;
+  size_t hi = lo;
+  for (int i = 0; i < n; ++i) {
+    size_t c0 = chunks[start + i].first;
+    size_t c1 = c0 + chunks[start + i].second;
+    if (c0 < lo) lo = c0;
+    if (c1 > hi) hi = c1;
+  }
+  std::vector<uint8_t> buf;
+  if (!read_span(path, lo, hi, &buf)) return kErrOpen;
   std::atomic<int> rc{kOk};
   parallel_for(n, threads, [&](int i) {
-    int st = decode_jpeg_one(buf.data() + chunks[start + i].first,
+    int st = decode_jpeg_one(buf.data() + (chunks[start + i].first - lo),
                              chunks[start + i].second,
                              out + static_cast<size_t>(i) * h * w * 3, h, w);
     int expect = kOk;

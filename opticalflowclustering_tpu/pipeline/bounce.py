@@ -311,13 +311,21 @@ def process_video_stream(
     frame and all normalization is per-frame, pinned by
     tests/test_pipeline_stream.py.
     """
+    probe = None
     if native:
         from opticalflowclustering_tpu.io import fastio
 
-        # Full probe (container + MJPEG codec), not just the RIFF sniff:
-        # an xvid/h264 AVI passes the magic check but fails jpeg decode —
-        # those must fall back to the cv2 stream, not raise mid-stream.
-        if not (fastio.available() and fastio.probe_mjpeg_avi(path)):
+        # Gate order matters: 12-byte RIFF sniff first (rejects mp4/mkv
+        # without touching the native runtime or the file body), then the
+        # full probe (container + MJPEG codec) — an xvid/h264 AVI passes
+        # the magic check but fails jpeg decode and must fall back to the
+        # cv2 stream, not raise mid-stream.
+        probe = (
+            fastio.probe_mjpeg_avi(path)
+            if fastio.is_mjpeg_avi(path) and fastio.available()
+            else None
+        )
+        if probe is None:
             native = False  # cv2 stream handles every other container
 
     if native:
@@ -325,7 +333,8 @@ def process_video_stream(
 
         def gen():
             return stream_mjpeg_avi(
-                path, cfg.chunk, overlap=1, max_frames=max_frames
+                path, cfg.chunk, overlap=1, max_frames=max_frames,
+                probe=probe,
             )
     else:
         from opticalflowclustering_tpu.io.video import stream_video_chunks
