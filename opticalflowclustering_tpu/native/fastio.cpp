@@ -277,7 +277,9 @@ bool avi_index_cached(const char* path,
     std::lock_guard<std::mutex> lk(g_avi_mu);
     auto it = avi_cache().find(path);
     if (it != avi_cache().end() &&
-        it->second.mtime == static_cast<int64_t>(st.st_mtime) &&
+        it->second.mtime == static_cast<int64_t>(st.st_mtim.tv_sec) *
+                                1000000000 +
+                            st.st_mtim.tv_nsec &&
         it->second.fsize == static_cast<int64_t>(st.st_size)) {
       *chunks = it->second.chunks;
       return true;
@@ -287,8 +289,10 @@ bool avi_index_cached(const char* path,
   if (!index_avi_file(path, &fresh)) return false;
   {
     std::lock_guard<std::mutex> lk(g_avi_mu);
-    avi_cache()[path] = AviIndex{static_cast<int64_t>(st.st_mtime),
-                                 static_cast<int64_t>(st.st_size), fresh};
+    avi_cache()[path] =
+        AviIndex{static_cast<int64_t>(st.st_mtim.tv_sec) * 1000000000 +
+                     st.st_mtim.tv_nsec,
+                 static_cast<int64_t>(st.st_size), fresh};
   }
   *chunks = std::move(fresh);
   return true;
