@@ -20,6 +20,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Belt-and-suspenders for every subprocess a test spawns: the ambient
+# PYTHONPATH points at the host's TPU-tunnel sitecustomize hook
+# (/root/.axon_site), whose interpreter-boot registration blocks for
+# minutes when the tunnel is down — even with JAX_PLATFORMS=cpu. Repoint
+# it at the repo so children import the package AND skip the hook, even
+# if an individual test forgets to pass env= explicitly.
+os.environ["PYTHONPATH"] = os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
+
 # The host image may install a TPU-tunnel PJRT plugin via a sitecustomize
 # hook (PYTHONPATH=/root/.axon_site) that force-sets jax_platforms to the
 # plugin at interpreter start, ignoring the env var. Override it back after

@@ -95,7 +95,12 @@ def test_trainbounce_cli(tmp_path):
             "--steps", "25", "--out", str(out),  # smoke: learning quality
             # is pinned by test_train_on_hue_windows (150 steps, acc>.85)
         ],
-        check=True, capture_output=True, text=True,
+        # env MUST be passed: the ambient PYTHONPATH carries the host's
+        # TPU-tunnel sitecustomize hook, whose boot-time registration
+        # blocks for minutes when the tunnel is down (even under
+        # JAX_PLATFORMS=cpu) — this exact omission made the test take
+        # 751 s in one suite run and hang outright during an outage.
+        env=env, check=True, capture_output=True, text=True,
     )
     assert "train accuracy" in r.stdout
     assert out.exists()
