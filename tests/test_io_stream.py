@@ -4,6 +4,8 @@ threaded VideoStream must serve frames from a file source."""
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pytest
 
@@ -49,11 +51,19 @@ def test_stream_chunks_respects_max_frames(clip):
 
 def test_video_stream_reads_frames(clip):
     vs = VideoStream(clip, paced=False).start()
+    # read() returns None until the daemon reader produces its first
+    # frame — on a loaded 1-core box that can lag start() by a while, so
+    # poll with a deadline instead of breaking on the first None (the
+    # old form flaked in-suite with frames == 0).
+    deadline = time.monotonic() + 20.0
     frames = 0
-    while vs.running() and frames < 5:
+    while frames < 5 and time.monotonic() < deadline:
         f = vs.read()
         if f is None:
-            break
+            if not vs.running():
+                break
+            time.sleep(0.01)
+            continue
         assert f.shape == (48, 64, 3)
         frames += 1
     vs.stop()
