@@ -350,6 +350,33 @@ def main():
     if args.frames is not None:
         N = max(args.frames, 9)
 
+    # Fail fast if the TPU tunnel is down: backend init inside this
+    # process would block indefinitely (sleep+retry against the relay),
+    # so probe device availability in a bounded subprocess first and exit
+    # with a diagnosis instead of hanging the driver.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=240,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench: device backend did not initialize within 240 s "
+            "(TPU tunnel outage?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    if probe.returncode != 0:
+        print(
+            "bench: device backend init failed — aborting. stderr tail:\n"
+            + probe.stderr[-500:],
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    print(f"bench: devices {probe.stdout.strip()}", file=sys.stderr)
+
     _enable_compile_cache()
     frames = synth_frames(n=N, h=H, w=W)
     n_cpu = min(10, N - 1)
