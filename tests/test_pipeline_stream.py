@@ -95,3 +95,58 @@ def test_stream_too_short(tmp_path):
     write_video_mjpg(path, frames, fps=30.0)
     with pytest.raises(ValueError):
         process_video_stream(path, _cfg(4))
+
+
+def test_packed_u8_table_roundtrip(clip):
+    """The device→host wire format is a uint8 packed table ([hue |
+    rgb_hue | RGBA centroids | f32 mean-mag bitcast to 4 bytes]);
+    _unpack_tables must restore exactly what chunk_step's dict path
+    emits — dtypes included (the packing is advertised as lossless)."""
+    import jax
+
+    from opticalflowclustering_tpu.pipeline.bounce import (
+        _stack_chunks,
+        _unpack_tables,
+        _video_step,
+        chunk_step,
+    )
+
+    frames = read_video_bgr(clip)
+    cfg = _cfg(chunk=4)
+    chunks, n_pairs = _stack_chunks(frames, cfg.chunk)
+    packed = np.asarray(_video_step(jax.device_put(chunks), cfg))
+    assert packed.dtype == np.uint8
+    got = _unpack_tables(packed, n_pairs)
+
+    # oracle: the per-chunk dict path on the same chunk stack
+    want = {k: [] for k in ("hue_table", "rgb_hue_table", "centroids",
+                            "mean_magnitude")}
+    for c in chunks:
+        out = chunk_step(c, cfg)
+        for k in want:
+            want[k].append(np.asarray(out[k]))
+    for k in want:
+        want[k] = np.concatenate(want[k])[:n_pairs]
+
+    assert got["hue_table"].dtype == np.uint8
+    np.testing.assert_array_equal(got["hue_table"], want["hue_table"])
+    np.testing.assert_array_equal(
+        got["rgb_hue_table"], want["rgb_hue_table"].astype(np.float32)
+    )
+    np.testing.assert_array_equal(got["centroids"], want["centroids"])
+    # mean_magnitude: the BITCAST is exact (round-trips the f32 the scan
+    # program computed, pinned below on host bytes), but the scan-fused
+    # program and the eager per-chunk oracle fuse the hypot+mean chain
+    # differently — agreement is ~1 ulp, same contract as the sharding
+    # tests.
+    np.testing.assert_allclose(
+        got["mean_magnitude"],
+        want["mean_magnitude"].astype(np.float32),
+        rtol=1e-6,
+    )
+    raw = np.ascontiguousarray(
+        packed.reshape(-1, packed.shape[-1])[:n_pairs, -4:]
+    )
+    np.testing.assert_array_equal(
+        raw.view(np.float32).ravel(), got["mean_magnitude"]
+    )
