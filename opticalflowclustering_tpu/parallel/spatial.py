@@ -25,13 +25,20 @@ the unsharded `flow.farneback.farneback_flow` (warp_mode='exact'):
     4. the coarse→fine flow upsample exchanges a 4-row halo and fixes up
        the two globally-clamped boundary rows on the edge shards.
 
-Exactness contract: owned rows match the unsharded flow bitwise provided
-the vertical displacement at pyramid level k stays within `reach_k =
-max(8, warp_radius >> k)` rows (beyond the exchanged halo the warp applies
-OpenCV's out-of-image constant-motion fallback, which the unsharded path
-would only apply at the true image border). Real-footage flow is far
-inside this envelope; tests/test_parallel.py pins bitwise equality on an
-8-shard 1536-row frame.
+Exactness contract (two layers) provided the vertical displacement at
+pyramid level k stays within `reach_k = max(8, warp_radius >> k)` rows
+(beyond the exchanged halo the warp applies OpenCV's out-of-image
+constant-motion fallback, which the unsharded path would only apply at
+the true image border; real-footage flow is far inside this envelope):
+
+* the halo/taper/margin MATH is exact — with op-by-op execution the
+  sharded output is BITWISE equal to the unsharded flow
+  (tests/test_spatial_tp.py::test_spatial_tp_bitwise_eager);
+* the production entry point compiles the body as one cached jitted
+  program, and XLA's whole-program fusion rounds float chains per
+  program structure, so jitted-sharded vs unsharded agreement is
+  fusion-noise level (≤5e-5 px asserted at the 1536-row and 720p
+  flagship geometries).
 
 Constraint: H must be divisible by n_shards * 2^levels so every pyramid
 level splits evenly and the bilinear sample grids of shard-local resizes
@@ -323,8 +330,9 @@ def spatial_farneback_flow(
     """farneback_flow with the row axis sharded over `axis_name`.
 
     prev_img/next_img: [..., H, W] grayscale; H % (n_shards * 2^levels) == 0.
-    Returns [..., H, W, 2] flow, row-sharded, bitwise equal to the unsharded
-    exact-mode flow within the reach contract (module docstring)."""
+    Returns [..., H, W, 2] flow, row-sharded, equal to the unsharded
+    exact-mode flow within the reach contract (module docstring: bitwise
+    op-by-op; ≤5e-5 px under whole-program jit fusion)."""
     n_dev = mesh.shape[axis_name]
     h, w = prev_img.shape[-2], prev_img.shape[-1]
     if h % (n_dev * 2**params.levels):
@@ -504,8 +512,9 @@ def spatial_farneback_flow_padded(
     so non-divisible flagship geometries (720p, 1081p) shard without
     manual padding (VERDICT r2 #7).
 
-    Semantics: bitwise equal to the unsharded exact-mode flow *of the
-    padded frame*, cropped to H (the TP-correctness property; pinned in
+    Semantics: equal (same two-layer contract as the module docstring)
+    to the unsharded exact-mode flow *of the padded frame*, cropped to H
+    (the TP-correctness property; pinned in
     tests/test_spatial_tp.py). Replicate-padding necessarily moves the
     bottom image border (taper position, blur reflection, box-solve
     windows), so rows near the bottom differ from the unsharded flow of
