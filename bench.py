@@ -353,25 +353,46 @@ def main():
     # Fail fast if the TPU tunnel is down: backend init inside this
     # process would block indefinitely (sleep+retry against the relay),
     # so probe device availability in a bounded subprocess first and exit
-    # with a diagnosis instead of hanging the driver.
+    # with a diagnosis instead of hanging the driver. Tunnel outages are
+    # usually transient (BENCH_r03 was lost to one), so retry with
+    # backoff — 4 attempts spanning ~13 min — before giving up.
     import subprocess
 
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices())"],
-            capture_output=True, text=True, timeout=240,
+    probe = None
+    for attempt, backoff_s in enumerate((60, 120, 180), start=1):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=240,
+            )
+        except subprocess.TimeoutExpired:
+            probe = None
+        if probe is not None and probe.returncode == 0:
+            break
+        why = (
+            "timed out after 240 s" if probe is None
+            else f"failed (rc={probe.returncode}): {probe.stderr[-300:]}"
         )
-    except subprocess.TimeoutExpired:
         print(
-            "bench: device backend did not initialize within 240 s "
-            "(TPU tunnel outage?) — aborting instead of hanging",
+            f"bench: device probe attempt {attempt}/4 {why} — "
+            f"retrying in {backoff_s} s (TPU tunnel outage?)",
             file=sys.stderr,
         )
-        sys.exit(3)
-    if probe.returncode != 0:
+        time.sleep(backoff_s)
+        probe = None
+    else:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=240,
+            )
+        except subprocess.TimeoutExpired:
+            probe = None
+    if probe is None or probe.returncode != 0:
+        tail = "" if probe is None else "\nstderr tail:\n" + probe.stderr[-500:]
         print(
-            "bench: device backend init failed — aborting. stderr tail:\n"
-            + probe.stderr[-500:],
+            "bench: device backend did not initialize in 4 attempts over "
+            "~13 min — aborting instead of hanging." + tail,
             file=sys.stderr,
         )
         sys.exit(3)
@@ -383,13 +404,18 @@ def main():
     cpu_fps = bench_cpu_reference(frames, n_frames=n_cpu)
     print(f"cpu reference ({n_cpu} frames): {cpu_fps:.3f} fps",
           file=sys.stderr)
-    tpu_fps = bench_tpu(frames)
-    print(f"tpu pipeline: {tpu_fps:.1f} fps", file=sys.stderr)
-    tpu_fps2 = bench_tpu(frames)
-    print(f"tpu pipeline (2nd run): {tpu_fps2:.1f} fps "
-          f"(spread {abs(tpu_fps - tpu_fps2) / tpu_fps * 100:.1f}%)",
-          file=sys.stderr)
-    tpu_fps = max(tpu_fps, tpu_fps2)
+    # Three independent runs, headline = MEDIAN (VERDICT r3 weak #1: max()
+    # overstates; median is robust to one tunnel hiccup in either
+    # direction). All run values land in the JSON for inspection.
+    tpu_runs = []
+    for i in range(3):
+        fps_i = bench_tpu(frames)
+        tpu_runs.append(fps_i)
+        print(f"tpu pipeline run {i + 1}/3: {fps_i:.1f} fps", file=sys.stderr)
+    tpu_fps = float(np.median(tpu_runs))
+    spread = (max(tpu_runs) - min(tpu_runs)) / tpu_fps * 100
+    print(f"tpu pipeline median: {tpu_fps:.1f} fps "
+          f"(spread {spread:.1f}%)", file=sys.stderr)
     noise_fps = bench_tpu(noise_frames(n=N, h=H, w=W), repeats=2)
     print(
         f"tpu pipeline on pure-noise frames (pathological candidate "
@@ -438,6 +464,7 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(tpu_fps / cpu_fps, 1),
+                "runs_fps": [round(v, 1) for v in tpu_runs],
                 "noise_frames_fps": round(noise_fps, 1),
                 "decode_inclusive_fps_stream": round(
                     dec["e2e_fps_stream"], 1

@@ -151,6 +151,7 @@ def _sharded_hue_pipeline_videos_fn(
             P(dp_axis, sp_axis),
             P(dp_axis, sp_axis),
             P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis),
         ),
         check_vma=False,  # Pallas warp kernels run inside on real TPUs
     )
@@ -164,9 +165,11 @@ def _sharded_hue_pipeline_videos_fn(
         mag = magnitude(flow[..., 0], flow[..., 1])
         mean_mag = jnp.mean(mag, axis=(-2, -1))
         flow_bgr = render_flow_hsv_bgr(flow)
-        _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
+        centroids, hue = dominant_hue_k1_frames(
+            flow_bgr, grid, rb_swap=rb_swap
+        )
         rgb_hue = grid_mean_hue(flow_bgr, grid)
-        return hue, rgb_hue, mean_mag
+        return hue, rgb_hue, centroids, mean_mag
 
     return step
 
@@ -183,13 +186,16 @@ def sharded_hue_pipeline_videos(
     """dp×sp-sharded flagship pipeline over a BATCH of videos
     [B, N, H, W, 3]u8: videos sharded across `dp_axis`, each video's frame
     axis across `sp_axis` (1-frame ring halo over ICI). Returns
-    (hue [B, N, cells], rgb_hue [B, N, cells], mean_mag [B, N]); row N-1 of
-    each video is the wrapped junk pair (last frame against frame 0) —
-    valid data is [:, :N-1]. Beyond the halo exchange everything is chip-
-    local; the hue feature tables are bitwise equal to the unsharded
-    pipeline on any mesh shape, the float mean-magnitude telemetry to
-    ~1 ulp (XLA fuses its hypot+mean chain per local shard shape)
-    (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
+    (hue [B, N, cells], rgb_hue [B, N, cells],
+    centroids [B, N, cells, 4] int32 RGBA — the per-cell `-f`/addnew rows
+    the reference's fused run appends, `KmeanGrids.py:320-339`,
+    mean_mag [B, N]); row N-1 of each video is the wrapped junk pair (last
+    frame against frame 0) — valid data is [:, :N-1]. Beyond the halo
+    exchange everything is chip-local; the hue/centroid feature tables are
+    bitwise equal to the unsharded pipeline on any mesh shape, the float
+    mean-magnitude telemetry to ~1 ulp (XLA fuses its hypot+mean chain per
+    local shard shape) (tests/test_parallel.py,
+    __graft_entry__.dryrun_multichip)."""
     return _sharded_hue_pipeline_videos_fn(
         mesh, dp_axis, sp_axis, grid, params, rb_swap
     )(videos)
@@ -202,13 +208,14 @@ def unsharded_hue_pipeline_videos(
     rb_swap: bool = True,
 ):
     """Single-device emulation of sharded_hue_pipeline_videos (same ops,
-    same ring wrap) — the bitwise oracle for mesh-invariance checks."""
+    same ring wrap, same 4-tuple) — the bitwise oracle for mesh-invariance
+    checks."""
     gray = bgr2gray(videos)
     gray_ext = jnp.concatenate([gray, gray[:, :1]], axis=1)
     flow = farneback_flow(gray_ext[:, :-1], gray_ext[:, 1:], params)
     mag = magnitude(flow[..., 0], flow[..., 1])
     mean_mag = jnp.mean(mag, axis=(-2, -1))
     flow_bgr = render_flow_hsv_bgr(flow)
-    _, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
+    centroids, hue = dominant_hue_k1_frames(flow_bgr, grid, rb_swap=rb_swap)
     rgb_hue = grid_mean_hue(flow_bgr, grid)
-    return hue, rgb_hue, mean_mag
+    return hue, rgb_hue, centroids, mean_mag

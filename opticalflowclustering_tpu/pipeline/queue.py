@@ -21,7 +21,12 @@ from opticalflowclustering_tpu.utils.logging import get_logger
 
 log = get_logger("ofc_tpu.queue")
 
-_SAVED_KEYS = ("hue_table", "rgb_hue_table", "mean_magnitude")
+_SAVED_KEYS = ("hue_table", "rgb_hue_table", "centroids", "mean_magnitude")
+
+#: Observability/test hook: filled in by the last `process_video_queue_dp`
+#: call with {"peak_buffered_videos", "batches", "evictions"} so tests can
+#: assert the streaming-memory bound without instrumenting internals.
+LAST_DP_STATS: dict[str, int] = {}
 
 
 @dataclasses.dataclass
@@ -108,11 +113,29 @@ def process_video_queue_dp(
 
     Under `jax.distributed` (parallel/multihost.py) each host first takes
     its round-robin share of the list, so decode stays host-local and only
-    device-side work is distributed. Decode of the next batch overlaps
-    device compute via a prefetch thread. Same-shape videos batch
-    together; odd-shaped leftovers fall back to the sequential queue.
-    Retry/resume semantics match `process_video_queue` (a failed batch
-    retries its videos individually)."""
+    device-side work is distributed.
+
+    Streaming dataflow with bounded host memory (contrast with the
+    reference, which pays decode inline for every frame,
+    `KmeanGrids.py:156,180-185`): a prefetch thread decodes ahead through a
+    bounded queue while the consumer buckets videos by shape and dispatches
+    each dp-sized same-shape group AS SOON as it fills — the decoder keeps
+    decoding behind the device batch, so decode and compute genuinely
+    overlap. Host-side buffering is capped at `max_buffered` decoded
+    videos (default 2·dp): when odd-shaped stragglers would exceed it, the
+    oldest buffered video is evicted to an immediate single-video device
+    run instead of waiting for its bucket to fill. End-of-stream leftovers
+    run the same way (frames are already in RAM — no re-decode). Peak host
+    memory is therefore ≤ max_buffered + prefetch(2) + 1-being-decoded +
+    dp-in-flight videos regardless of queue length; `LAST_DP_STATS`
+    records the observed peak.
+
+    Artifacts carry the full single-video contract — hue_table,
+    rgb_hue_table, per-cell RGBA `centroids` (the reference's `-f`/addnew
+    rows, `KmeanGrids.py:320-339`), mean_magnitude — byte-identical to
+    `process_video_queue`'s (tests/test_queue_dp.py). Retry/resume
+    semantics match it too (a failed batch retries its videos
+    individually)."""
     import collections
     import queue as _q
     import threading
@@ -128,6 +151,7 @@ def process_video_queue_dp(
     os.makedirs(out_dir, exist_ok=True)
     dp = mesh.shape[dp_axis]
     sp = mesh.shape[sp_axis]
+    max_buffered = 2 * dp
     paths = (
         host_shard(video_paths)
         if shard_hosts and jax.process_count() > 1
@@ -144,7 +168,9 @@ def process_video_queue_dp(
         else:
             todo.append(p)
 
-    # prefetch-decode thread: (path, frames|exception) stream
+    # prefetch-decode thread: (path, frames|exception) stream. maxsize
+    # bounds decode-ahead; the consumer dispatching device batches between
+    # get()s is what lets the decoder run behind them.
     decoded: _q.Queue = _q.Queue(maxsize=2)
 
     def _decoder():
@@ -157,23 +183,13 @@ def process_video_queue_dp(
 
     threading.Thread(target=_decoder, daemon=True).start()
 
-    buckets: dict[tuple, list] = collections.defaultdict(list)
+    retry_paths: list[str] = []
     failed_decode: list[VideoResult] = []
-    stream = []
-    while True:
-        item = decoded.get()
-        if item is None:
-            break
-        p, frames = item
-        if isinstance(frames, Exception):
-            failed_decode.append(
-                VideoResult(p, False, None, error=f"{type(frames).__name__}: {frames}", attempts=1)
-            )
-            continue
-        buckets[frames.shape].append((p, frames))
-        if len(buckets[frames.shape]) == dp:
-            stream.append(buckets.pop(frames.shape))
-    leftovers = [pv for group in buckets.values() for pv in group]
+
+    def _save(p: str, tables: dict[str, np.ndarray]) -> None:
+        artifact = _artifact_path(out_dir, p)
+        np.savez_compressed(artifact, **{k: tables[k] for k in _SAVED_KEYS})
+        results.append(VideoResult(p, True, artifact, attempts=1))
 
     def _run_batch(group):
         names = [p for p, _ in group]
@@ -184,32 +200,102 @@ def process_video_queue_dp(
             vids = np.concatenate(  # are junk and sliced off below)
                 [vids, np.repeat(vids[:, -1:], n_pad, axis=1)], axis=1
             )
-        hue, rgb_hue, mag = sharded_hue_pipeline_videos(
+        hue, rgb_hue, cen, mag = sharded_hue_pipeline_videos(
             vids, mesh, dp_axis, sp_axis, grid=cfg.grid, params=cfg.flow,
             rb_swap=cfg.rb_swap,
         )
         hue = np.asarray(hue)[:, : n - 1]
         rgb_hue = np.asarray(rgb_hue)[:, : n - 1]
+        cen = np.asarray(cen)[:, : n - 1]
         mag = np.asarray(mag)[:, : n - 1]
         for i, p in enumerate(names):
-            artifact = _artifact_path(out_dir, p)
-            np.savez_compressed(
-                artifact,
-                hue_table=hue[i],
-                rgb_hue_table=rgb_hue[i],
-                mean_magnitude=mag[i],
-            )
-            results.append(VideoResult(p, True, artifact, attempts=1))
+            _save(p, {
+                "hue_table": hue[i],
+                "rgb_hue_table": rgb_hue[i],
+                "centroids": cen[i],
+                "mean_magnitude": mag[i],
+            })
         log.info("dp batch done: %s (%d pairs each)", names, n - 1)
 
-    retry_paths = []
-    for group in stream:
+    def _run_single(p: str, frames: np.ndarray) -> None:
+        """Evicted/leftover video: frames are already decoded, so run the
+        single-device pipeline directly (identical tables — pinned by
+        tests) rather than re-decoding through the sequential queue."""
+        feature_cfg = dataclasses.replace(cfg, emit_flow_bgr=False)
+        _save(p, process_frames(frames, feature_cfg))
+
+    buckets: dict[tuple, list] = collections.defaultdict(list)
+    order: collections.deque = collections.deque()  # FIFO for eviction
+    buffered = 0
+    stats = {"peak_buffered_videos": 0, "batches": 0, "evictions": 0}
+
+    def _dispatch(group) -> None:
         try:
+            stats["batches"] += 1
             _run_batch(group)
         except Exception as e:  # noqa: BLE001 — retry individually
             log.warning("dp batch failed (%s); retrying sequentially", e)
             retry_paths.extend(p for p, _ in group)
-    retry_paths.extend(p for p, _ in leftovers)
+
+    def _evict_oldest() -> None:
+        nonlocal buffered
+        while order:
+            shape, p0 = order.popleft()
+            bucket = buckets.get(shape)
+            if bucket is None:
+                continue
+            idx = next((i for i, (p, _) in enumerate(bucket) if p == p0), None)
+            if idx is None:
+                continue
+            p, frames = bucket.pop(idx)
+            if not bucket:
+                del buckets[shape]
+            buffered -= 1
+            stats["evictions"] += 1
+            try:
+                _run_single(p, frames)
+            except Exception as e:  # noqa: BLE001
+                log.warning("evicted single run failed for %s (%s); "
+                            "queueing retry", p, e)
+                retry_paths.append(p)
+            return
+
+    while True:
+        item = decoded.get()
+        if item is None:
+            break
+        p, frames = item
+        if isinstance(frames, Exception):
+            failed_decode.append(
+                VideoResult(p, False, None,
+                            error=f"{type(frames).__name__}: {frames}",
+                            attempts=1)
+            )
+            continue
+        buckets[frames.shape].append((p, frames))
+        order.append((frames.shape, p))
+        buffered += 1
+        stats["peak_buffered_videos"] = max(
+            stats["peak_buffered_videos"], buffered
+        )
+        if len(buckets[frames.shape]) == dp:
+            group = buckets.pop(frames.shape)
+            buffered -= dp
+            _dispatch(group)  # decoder keeps filling behind this batch
+        elif buffered > max_buffered:
+            _evict_oldest()
+
+    # end-of-stream leftovers: already decoded — single-video device runs
+    for shape in list(buckets):
+        for p, frames in buckets.pop(shape):
+            buffered -= 1
+            try:
+                _run_single(p, frames)
+            except Exception as e:  # noqa: BLE001
+                log.warning("leftover single run failed for %s (%s); "
+                            "queueing retry", p, e)
+                retry_paths.append(p)
+
     if retry_paths:
         results.extend(
             process_video_queue(
@@ -218,4 +304,6 @@ def process_video_queue_dp(
             )
         )
     results.extend(failed_decode)
+    LAST_DP_STATS.clear()
+    LAST_DP_STATS.update(stats)
     return results

@@ -74,10 +74,11 @@ gv = jax.make_array_from_callback(
 )
 grid = GridParams(rows=4, cols=4)
 params = FarnebackParams(levels=1)
-hue, rgb_hue, mean_mag = sharded_hue_pipeline_videos(
+hue, rgb_hue, centroids, mean_mag = sharded_hue_pipeline_videos(
     gv, mesh, grid=grid, params=params
 )
 assert hue.shape == (2, 4, 16), hue.shape
+assert centroids.shape == (2, 4, 16, 4), centroids.shape
 # fully-addressable? no — each process sees its shards; gather its local sum
 local = sum(float(np.asarray(s.data).sum()) for s in hue.addressable_shards)
 print(f"OK pid={pid} local_hue_sum={local}")

@@ -63,14 +63,14 @@ def test_sharded_video_batch_pipeline_mesh_invariant(dp, sp):
     local = jax.jit(
         lambda v: unsharded_hue_pipeline_videos(v, grid=grid)
     )(vids)
-    # Hue feature tables are integer math → bitwise on every mesh shape.
-    # mean_magnitude is float telemetry: XLA fuses the hypot+mean chain
-    # differently per local shard shape, so it is mesh-invariant only to
-    # ~1 ulp.
-    for s, l in zip(sharded[:2], local[:2]):
+    # Hue/centroid feature tables are integer math → bitwise on every mesh
+    # shape. mean_magnitude is float telemetry: XLA fuses the hypot+mean
+    # chain differently per local shard shape, so it is mesh-invariant
+    # only to ~1 ulp.
+    for s, l in zip(sharded[:3], local[:3]):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(l))
     np.testing.assert_allclose(
-        np.asarray(sharded[2]), np.asarray(local[2]), rtol=1e-6
+        np.asarray(sharded[3]), np.asarray(local[3]), rtol=1e-6
     )
 
 
