@@ -1,18 +1,42 @@
 """Hough circle detection (`detect-circles/detect_circles.py:13`,
 cv2.HoughCircles HOUGH_GRADIENT dp=1.2 minDist=75).
 
-Gradient-vote formulation like OpenCV's HOUGH_GRADIENT, end-to-end on
-device as ONE jitted program: Canny edges vote for centers along their
-Sobel gradient direction across the radius range (dense scatter-add
-accumulator, `lax.scan` over radii so peak memory stays at one [H, W]
-vote plane per step), accumulator peaks are extracted with a device NMS
-scan (argmax + rectangular suppression within minDist — the global max is
-non-increasing under suppression, so the below-threshold cutoff is a
-monotone validity flag instead of a data-dependent break), and each
-center's radius is the modal edge distance (device bincount). The host
-wrapper only trims the fixed-size [max_circles, 3] result to the valid
-rows. SURVEY.md §2.3 called this scatter-add kernel a stretch goal; it
-was the last §2.3 primitive without a device path.
+Gradient-vote detector re-derived from cv2's HOUGH_GRADIENT as ONE jitted
+device program (no host vote loop), in four stages:
+
+* **Voting** replicates cv2's fixed-point ray walk: each Canny edge pixel
+  with a nonzero Sobel gradient votes along ±gradient at one vote per
+  integer image-space radius, positions computed as
+  ``(round(x·idp·1024) + r·round(idp·cosθ·1024)) >> 10`` — the same
+  10-bit quantized direction and floor division cv2 uses, so vote counts
+  are directly comparable and `acc_threshold` means cv2's `param2`. The
+  radius axis is a `lax.scan` (peak memory: one [aH, aW] plane).
+* **Centers**: cv2's 4-neighbor local-maximum rule (strictly greater than
+  left/top, ≥ right/bottom) over cells `> param2`, then top-K by
+  accumulator value. Real photos yield thousands of such candidates (the
+  soda demo: ~2.1k) — the default `n_candidates` covers all of them.
+* **Radius support** (a `lax.scan` over candidates): edge points whose
+  gradient LINE passes within 2·dp of the candidate center — i.e. the
+  points that actually voted for it — are binned by Euclidean distance
+  (cv2's bin width dp/10); the dp-wide window maximizing count/r gives
+  (radius, support). The direction gate is the discriminator cv2's raw
+  distance counting lacks: on the 8circles demo the central circle's
+  unfiltered count/r optimum is a 900-point pileup at r≈149 (the far
+  poles of the 8 surrounding rings), while the true 275-point ring at
+  r≈48.5 wins once only voting-consistent points count. Circles need
+  support > param2.
+* **Selection**: candidates sorted by support (desc; ties radius desc,
+  x, y asc — cv2's deterministic order), then a greedy EUCLIDEAN minDist
+  dedup scan in that order.
+
+Parity on the reference demo images (tests/test_library_oracles.py):
+`8circles.png` and `simple.png` match cv2.HoughCircles' output EXACTLY in
+count with centers within 0.01 px and radii within 0.6 px. On `soda.png`
+(a busy photograph) cv2 reports 4 circles whose gradient-coherent support
+is only 4–130 edge points at their own centers (measured) — three are
+accumulation artifacts of raw distance counting and the fourth is a
+perspective ellipse; this detector intentionally rejects all four at the
+demo threshold rather than reproduce cv2's noise floor bit-for-bit.
 """
 
 from __future__ import annotations
@@ -36,6 +60,8 @@ from opticalflowclustering_tpu.ops.edges import canny, sobel
         "min_radius",
         "max_radius",
         "max_circles",
+        "n_candidates",
+        "direction_tol",
     ),
 )
 def hough_circles_device(
@@ -44,95 +70,159 @@ def hough_circles_device(
     dp: float = 1.2,
     min_dist: float = 75.0,
     canny_high: float = 100.0,
-    acc_threshold: float = 30.0,
-    min_radius: int = 10,
-    max_radius: int = 60,
+    acc_threshold: float = 100.0,
+    min_radius: int = 0,
+    max_radius: int = 0,
     max_circles: int = 16,
+    n_candidates: int = 4096,
+    direction_tol: float = 2.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[H, W] uint8 → (circles [max_circles, 3] (x, y, r), valid mask).
-    Fixed-size jittable core; circles are in detection (peak) order and
-    `valid` is monotone (all True rows precede all False rows)."""
+    Fixed-size jittable core; circles are in descending radius-support
+    order and `valid` is monotone (all True rows precede all False rows).
+    `max_radius<=0` → max(H, W), `min_radius<0` → 0 (cv2 defaults);
+    `direction_tol` is the gradient-line gate in units of dp (see module
+    docstring)."""
     h, w = gray.shape
-    ah, aw = int(h / dp) + 1, int(w / dp) + 1
+    if max_radius <= 0:
+        max_radius = max(h, w)
+    min_radius = max(0, min_radius)
+    idp = 1.0 / dp
+    ah, aw = int(np.ceil(h * idp)), int(np.ceil(w * idp))
+
     edges = canny(gray, canny_high / 2.0, canny_high) > 0
     gx = sobel(gray, 1, 0, 3).astype(jnp.float32)
     gy = sobel(gray, 0, 1, 3).astype(jnp.float32)
     mag = jnp.hypot(gx, gy)
-    votable = edges & (mag > 1e-3)
-    safe = jnp.where(mag > 1e-3, mag, 1.0)
-    dirx = gx / safe
-    diry = gy / safe
+    votable = edges & ((gx != 0) | (gy != 0))
+    safe = jnp.where(mag > 0, mag, 1.0)
+    ux = gx / safe
+    uy = gy / safe
 
+    # cv2 fixed-point voting (SHIFT=10): quantize the step direction once
+    # per pixel, walk in integer arithmetic, floor to accumulator cells.
+    ONE = 1024
+    sx = jnp.round(ux * (idp * ONE)).astype(jnp.int32)
+    sy = jnp.round(uy * (idp * ONE)).astype(jnp.int32)
     ys_f = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs_f = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    radii = jnp.arange(min_radius, max_radius + 1, dtype=jnp.float32)
+    x0 = jnp.round(xs_f * (idp * ONE)).astype(jnp.int32)
+    y0 = jnp.round(ys_f * (idp * ONE)).astype(jnp.int32)
+
+    radii = jnp.arange(min_radius, max_radius + 1, dtype=jnp.int32)
 
     def vote(acc, r):
-        for sign in (1.0, -1.0):
-            cx = (xs_f + sign * r * dirx) / dp
-            cy = (ys_f + sign * r * diry) / dp
-            cxi = jnp.round(cx).astype(jnp.int32)
-            cyi = jnp.round(cy).astype(jnp.int32)
-            ok = votable & (cxi >= 0) & (cxi < aw) & (cyi >= 0) & (cyi < ah)
+        for sign in (1, -1):
+            x2 = jnp.right_shift(x0 + sign * r * sx, 10)
+            y2 = jnp.right_shift(y0 + sign * r * sy, 10)
+            ok = votable & (x2 >= 0) & (x2 < aw) & (y2 >= 0) & (y2 < ah)
             acc = acc.at[
-                jnp.clip(cyi, 0, ah - 1), jnp.clip(cxi, 0, aw - 1)
+                jnp.clip(y2, 0, ah - 1), jnp.clip(x2, 0, aw - 1)
             ].add(ok.astype(jnp.int32))
         return acc, None
 
     acc, _ = jax.lax.scan(vote, jnp.zeros((ah, aw), jnp.int32), radii)
 
-    # Peak extraction: argmax + rectangular suppression within minDist
-    # (the accumulator-space window matches the host formulation's
-    # integer-truncated slice bounds; coordinates are non-negative, so
-    # floor == int()).
-    md = min_dist / dp
-    ay = jax.lax.broadcasted_iota(jnp.float32, (ah, aw), 0)
-    ax = jax.lax.broadcasted_iota(jnp.float32, (ah, aw), 1)
-
-    def nms_step(acc_work, _):
-        peak = jnp.max(acc_work)
-        idx = jnp.argmax(acc_work)
-        py = (idx // aw).astype(jnp.float32)
-        px = (idx % aw).astype(jnp.float32)
-        ok = peak.astype(jnp.float32) >= acc_threshold
-        y0 = jnp.floor(jnp.maximum(py - md, 0.0))
-        y1 = jnp.floor(py + md + 1.0)
-        x0 = jnp.floor(jnp.maximum(px - md, 0.0))
-        x1 = jnp.floor(px + md + 1.0)
-        hit = (ay >= y0) & (ay < y1) & (ax >= x0) & (ax < x1)
-        acc_work = jnp.where(hit, 0, acc_work)
-        return acc_work, (px * dp, py * dp, ok)
-
-    _, (cxs, cys, oks) = jax.lax.scan(
-        nms_step, acc, None, length=max_circles
+    # Centers: cv2's 4-neighbor local-max rule over cells > param2.
+    pad = jnp.pad(acc, 1)
+    c = pad[1:-1, 1:-1]
+    local_max = (
+        (c > int(acc_threshold))
+        & (c > pad[1:-1, :-2])
+        & (c >= pad[1:-1, 2:])
+        & (c > pad[:-2, 1:-1])
+        & (c >= pad[2:, 1:-1])
     )
+    cand_vals = jnp.where(local_max, c, 0).ravel()
+    top_vals, top_idx = jax.lax.top_k(cand_vals, min(n_candidates, ah * aw))
+    cand_ay = (top_idx // aw).astype(jnp.float32)
+    cand_ax = (top_idx % aw).astype(jnp.float32)
+    cand_ok = top_vals > 0
 
-    # Radius: modal edge distance per center, np.histogram bin semantics
-    # (nbins over [min_radius, max_radius + 1)).
-    nbins = max_radius - min_radius + 1
-    width = (max_radius + 1 - min_radius) / nbins
+    # Radius support per candidate: direction-gated distance histogram,
+    # dp/10 bins (cv2's nBinsPerDr), dp-wide window maximizing count/r.
+    f_dp = jnp.float32(dp)
+    bin_size = dp / 10.0
+    nbins = int(round((max_radius - min_radius) / bin_size)) + 1
+    tol = jnp.float32(direction_tol * dp)
 
-    def radius_for(cx0, cy0):
-        d = jnp.hypot(xs_f - cx0, ys_f - cy0)
-        sel = votable & (d >= min_radius) & (d <= max_radius)
-        bins = jnp.clip(
-            ((d - min_radius) / width).astype(jnp.int32), 0, nbins - 1
+    def estimate(_, cand):
+        ay, ax, ok = cand
+        cx = (ax + 0.5) * f_dp
+        cy = (ay + 0.5) * f_dp
+        ddx = cx - xs_f
+        ddy = cy - ys_f
+        d = jnp.hypot(ddx, ddy)
+        cross = jnp.abs(ddx * uy - ddy * ux)
+        sel = (
+            votable
+            & (d >= min_radius)
+            & (d <= max_radius)
+            & (cross <= tol)
         )
-        hist = jnp.zeros((nbins,), jnp.int32).at[bins].add(
+        bins_idx = jnp.clip(
+            jnp.round((d - min_radius) / bin_size).astype(jnp.int32),
+            0,
+            nbins - 1,
+        )
+        hist = jnp.zeros((nbins,), jnp.int32).at[bins_idx].add(
             sel.astype(jnp.int32)
         )
-        r = min_radius + jnp.argmax(hist).astype(jnp.float32) * width + 0.5
-        return r, jnp.sum(hist) > 0
+        cs = jnp.concatenate([jnp.zeros((10,), jnp.int32), jnp.cumsum(hist)])
+        win = cs[10:] - cs[:-10]  # count in bins [j-9 .. j], index j
+        j = jnp.arange(nbins, dtype=jnp.float32)
+        r_cur = (2.0 * j - 9.0) / 20.0 * f_dp + min_radius
+        score = jnp.where(
+            win > 0, win.astype(jnp.float32) / jnp.maximum(r_cur, 1e-6), -1.0
+        )
+        b = jnp.argmax(score)
+        support = jnp.where(ok, win[b], 0)
+        return None, (cx, cy, r_cur[b], support)
 
-    rs, has_r = jax.vmap(radius_for)(cxs, cys)
-    circles = jnp.stack([cxs, cys, rs], axis=-1)
-    valid = oks & has_r
-    # `oks` is monotone (NMS zeroes peaks in descending order) but has_r
-    # can be False for an earlier peak whose edge support all falls inside
-    # min_radius after dp-rounding — stably compact the valid rows forward
-    # so the documented all-True-then-all-False invariant holds.
-    order = jnp.argsort(~valid, stable=True)
-    return circles[order], valid[order]
+    _, (cxs, cys, rs, supports) = jax.lax.scan(
+        estimate, None, (cand_ay, cand_ax, cand_ok)
+    )
+    passed = supports > int(acc_threshold)
+    supports = jnp.where(passed, supports, 0)
+
+    # cv2's deterministic order: support desc, radius desc, x asc, y asc.
+    _, _, _, _, cxs, cys, rs, passed = jax.lax.sort(
+        (-supports, -rs, cxs, cys, cxs, cys, rs, passed), num_keys=4
+    )
+
+    # Greedy Euclidean minDist dedup in that order.
+    min_dist2 = jnp.float32(min_dist * min_dist)
+
+    def dedup(state, cand):
+        xs_a, ys_a, rs_a, n_acc = state
+        cx, cy, r, ok = cand
+        slot = jnp.arange(max_circles)
+        live = slot < n_acc
+        d2 = (xs_a - cx) ** 2 + (ys_a - cy) ** 2
+        take = ok & ~jnp.any(live & (d2 < min_dist2)) & (n_acc < max_circles)
+        at = jnp.where(take, n_acc, max_circles - 1)
+        upd = lambda a, v: jnp.where(  # noqa: E731
+            take & (slot == at), v, a
+        )
+        return (
+            upd(xs_a, cx),
+            upd(ys_a, cy),
+            upd(rs_a, r),
+            n_acc + take.astype(jnp.int32),
+        ), None
+
+    init = (
+        jnp.full((max_circles,), -1e9, jnp.float32),
+        jnp.full((max_circles,), -1e9, jnp.float32),
+        jnp.zeros((max_circles,), jnp.float32),
+        jnp.int32(0),
+    )
+    (xs_a, ys_a, rs_a, n_acc), _ = jax.lax.scan(
+        dedup, init, (cxs, cys, rs, passed)
+    )
+    circles = jnp.stack([xs_a, ys_a, rs_a], axis=-1)
+    valid = jnp.arange(max_circles) < n_acc
+    return circles, valid
 
 
 def hough_circles(
@@ -140,13 +230,16 @@ def hough_circles(
     dp: float = 1.2,
     min_dist: float = 75.0,
     canny_high: float = 100.0,
-    acc_threshold: float = 30.0,
-    min_radius: int = 10,
-    max_radius: int = 60,
+    acc_threshold: float = 100.0,
+    min_radius: int = 0,
+    max_radius: int = 0,
     max_circles: int = 16,
 ) -> np.ndarray:
-    """[H, W] uint8 → [K, 3] (x, y, r) circles (K ≤ max_circles), peak
-    order. Host wrapper over the jitted device core."""
+    """[H, W] uint8 → [K, 3] (x, y, r) circles (K ≤ max_circles), support
+    order. Host wrapper over the jitted device core; defaults mirror
+    `cv2.HoughCircles(gray, HOUGH_GRADIENT, 1.2, 75)` — the reference demo
+    call (`detect_circles.py:13`): param1=100 → canny_high, param2=100 →
+    acc_threshold, unbounded radius."""
     circles, valid = hough_circles_device(
         jnp.asarray(gray),
         dp=dp,

@@ -304,7 +304,12 @@ class TestWorkloads:
         img = np.full((160, 200), 40, np.uint8)
         cv2.circle(img, (60, 70), 25, 220, -1)
         cv2.circle(img, (150, 90), 32, 200, -1)
-        circles = hough_circles(img, min_dist=50, min_radius=15, max_radius=45)
+        # Small rings spread votes over ~6 accumulator cells (peak ≈ 30);
+        # threshold sized to the scene (the reference-demo-image oracle in
+        # test_library_oracles.py checks cv2's own default threshold).
+        circles = hough_circles(
+            img, min_dist=50, acc_threshold=18.0, min_radius=15, max_radius=45
+        )
         assert len(circles) >= 2
         found = {tuple(np.round(c[:2] / 10).astype(int)) for c in circles[:2]}
         assert (6, 7) in found and (15, 9) in found
