@@ -140,7 +140,7 @@ def stream_mjpeg_avi(
     chunk: int,
     overlap: int = 1,
     max_frames: int | None = None,
-    segment: int = 512,
+    segment: int | None = None,
     probe: tuple[int, int, int] | None = None,
 ):
     """Streaming native decode: yield [chunk+overlap, H, W, 3] uint8 BGR
@@ -152,11 +152,17 @@ def stream_mjpeg_avi(
     pixels land, native/fastio.cpp ofc_mjpeg_avi_decode_flags); the
     generator yields as soon as the contiguous done-prefix covers the next
     chunk — so on a host whose native decode rate ≈ the device rate, decode
-    fully hides behind compute. Host memory really is bounded by the two
-    in-flight `segment`-frame decode windows: the container index is built
-    with a seek-based header sweep (cached per path in the C++ runtime)
-    and each window freads only its own byte span — the file is never
-    loaded whole, so arbitrarily long videos stream in constant memory.
+    fully hides behind compute. Host memory is bounded by the in-flight
+    `segment`-frame decode windows (up to THREE can be transiently alive:
+    the one being drained — whose buffer the assembler's carry still
+    views — plus the next one decoding and its successor started at the
+    segment join): the container index is built with a seek-based header
+    sweep (cached per path in the C++ runtime) and each window freads
+    only its own byte span — the file is never loaded whole, so
+    arbitrarily long videos stream in constant memory. `segment` defaults
+    to ~128 MB of frames (≥ chunk+overlap, ≤ 512), so the 3-window bound
+    stays a few hundred MB at any resolution instead of scaling with
+    frame size.
 
     `probe` forwards an earlier probe_mjpeg_avi() result so gate + stream
     don't probe twice.
@@ -171,6 +177,9 @@ def stream_mjpeg_avi(
     total, h, w = probe
     if max_frames is not None:
         total = min(total, max_frames)
+    if segment is None:
+        frame_bytes = h * w * 3
+        segment = max(1, min(512, (128 << 20) // max(frame_bytes, 1)))
     segment = max(segment, chunk + overlap)
 
     class _Segment:
@@ -213,10 +222,13 @@ def stream_mjpeg_avi(
                 )
 
     def frames_iter():
-        # Double-buffered decode windows: segment k+1's decoder starts as
-        # soon as segment k's decode THREAD exits (not when the consumer
+        # Pipelined decode windows: segment k+1's decoder starts as soon
+        # as segment k's decode THREAD exits (not when the consumer
         # finishes draining k), so the decoder never idles at a segment
-        # boundary. At most 2 segment buffers are live.
+        # boundary. Up to 3 segment buffers are transiently alive (the
+        # drained one is pinned by the assembler's carry views until the
+        # next chunk is built) — the byte-targeted default `segment`
+        # keeps that bound resolution-independent.
         start = 0
         cur = _Segment(start, min(segment, total - start)) if total else None
         start = cur.count if cur else 0

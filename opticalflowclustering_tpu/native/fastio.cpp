@@ -205,20 +205,32 @@ bool tag_is(const uint8_t* p, const char* t) {
 // HEADERS (8–12 bytes each) and fseek past payloads — O(n_frames) memory
 // regardless of file size, one sequential metadata sweep of the disk.
 // Accepts the '00dc'/'00db' video chunks of the movi LIST (the container
-// cv2.VideoWriter MJPG produces).
+// cv2.VideoWriter MJPG produces). Files larger than ~1 GB are OpenDML:
+// the writer appends extension `RIFF....AVIX` segments after the primary
+// `RIFF....AVI ` one, each with its own movi LIST — the outer loop walks
+// ALL segments so long clips index completely instead of silently
+// truncating at the first segment's frames.
 bool index_avi_file(const char* path,
                     std::vector<std::pair<size_t, size_t>>* chunks) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
-  bool ok = false;
-  uint8_t hdr[12];
   std::fseek(f, 0, SEEK_END);
   long fsize = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  if (fsize >= 12 && std::fread(hdr, 1, 12, f) == 12 &&
-      tag_is(hdr, "RIFF") && tag_is(hdr + 8, "AVI ")) {
-    long pos = 12;
-    while (pos + 8 <= fsize) {
+  long rpos = 0;
+  bool first = true;
+  while (rpos + 12 <= fsize) {
+    uint8_t hdr[12];
+    std::fseek(f, rpos, SEEK_SET);
+    if (std::fread(hdr, 1, 12, f) != 12 || !tag_is(hdr, "RIFF")) break;
+    bool form_ok = first ? tag_is(hdr + 8, "AVI ")
+                         : (tag_is(hdr + 8, "AVIX") || tag_is(hdr + 8, "AVI "));
+    if (!form_ok) break;
+    first = false;
+    uint32_t rsz = rd32(hdr + 4);
+    long rend = rpos + 8 + static_cast<long>(rsz);
+    if (rend > fsize) rend = fsize;
+    long pos = rpos + 12;
+    while (pos + 8 <= rend) {
       uint8_t bh[12];
       std::fseek(f, pos, SEEK_SET);
       size_t got = std::fread(bh, 1, 12, f);
@@ -228,7 +240,7 @@ bool index_avi_file(const char* path,
         if (tag_is(bh + 8, "movi")) {
           long mp = pos + 12;
           long mend = pos + 8 + static_cast<long>(sz);
-          if (mend > fsize) mend = fsize;
+          if (mend > rend) mend = rend;
           while (mp + 8 <= mend) {
             uint8_t ch[8];
             std::fseek(f, mp, SEEK_SET);
@@ -241,17 +253,17 @@ bool index_avi_file(const char* path,
             }
             mp += 8 + static_cast<long>(csz) + (csz & 1);
           }
-          ok = !chunks->empty();
-          break;
+          break;  // one movi per RIFF segment; go to the next segment
         }
         pos += 12;  // descend into other LISTs (hdrl etc.)
         continue;
       }
       pos += 8 + static_cast<long>(sz) + (sz & 1);
     }
+    rpos = rend + (rsz & 1);
   }
   std::fclose(f);
-  return ok;
+  return !chunks->empty();
 }
 
 // Per-path chunk-index cache (validated by mtime+size) so streaming
@@ -412,7 +424,12 @@ int ofc_mjpeg_avi_decode_flags(const char* path, uint8_t* out, int start,
                              out + static_cast<size_t>(i) * h * w * 3, h, w);
     int expect = kOk;
     if (st != kOk) rc.compare_exchange_strong(expect, st);
-    if (done) {
+    // Publish completion only for GOOD frames: a failed frame's flag
+    // stays 0, so the consumer's contiguous done-prefix stalls exactly
+    // at the bad frame and check_rc() raises there (instead of streaming
+    // garbage pixels into the device and failing later at the segment
+    // join).
+    if (done && st == kOk) {
       // release: the flag must not become visible before the pixels
       std::atomic_thread_fence(std::memory_order_release);
       reinterpret_cast<std::atomic<uint8_t>*>(done)[i].store(

@@ -155,3 +155,93 @@ def test_stream_mjpeg_avi_matches_batch_decode(tmp_path):
     # max_frames honored
     chunks = list(fastio.stream_mjpeg_avi(path, 4, max_frames=6))
     assert sum(v for _, v in chunks) == 5
+
+
+def _movi_payload(path):
+    """Extract one AVI's `LIST....movi` box bytes (header included) by a
+    minimal RIFF walk — the building block for crafting OpenDML files."""
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    pos = 12
+    while pos + 12 <= len(data):
+        tag, sz = data[pos : pos + 4], int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            return data[pos : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    raise AssertionError("no movi LIST")
+
+
+def test_avix_extension_segments_indexed(tmp_path):
+    """OpenDML long-file layout (ADVICE r3 medium): frames in appended
+    `RIFF....AVIX` extension segments must be indexed too — cv2's MJPG
+    writer emits them past ~1 GB, and truncating them silently breaks the
+    'arbitrarily long videos' streaming contract. Crafted here by
+    appending an AVIX segment that duplicates the primary movi."""
+    if not fastio.available():
+        pytest.skip("native fastio unavailable")
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(9, 48, 64, 3), dtype=np.uint8)
+    path = str(tmp_path / "base.avi")
+    write_video_mjpg(path, frames, 30.0)
+    want = fastio.decode_mjpeg_avi(path)  # 9 frames
+
+    movi = _movi_payload(path)
+    avix = b"RIFF" + (4 + len(movi)).to_bytes(4, "little") + b"AVIX" + movi
+    odml = str(tmp_path / "odml.avi")
+    with open(odml, "wb") as f:
+        f.write(open(path, "rb").read())
+        f.write(avix)
+
+    probe = fastio.probe_mjpeg_avi(odml)
+    assert probe is not None and probe[0] == 2 * len(frames), probe
+    got = fastio.decode_mjpeg_avi(odml)
+    assert got.shape[0] == 2 * len(frames)
+    assert np.array_equal(got[: len(frames)], want)
+    assert np.array_equal(got[len(frames) :], want)  # duplicated segment
+
+    # and the streaming path sees all segments' frames too
+    total = sum(v for _, v in fastio.stream_mjpeg_avi(odml, 4)) + 1
+    assert total == 2 * len(frames)
+
+
+def test_stream_decode_failure_stalls_at_bad_frame(tmp_path):
+    """A corrupt frame mid-stream (ADVICE r3 low): its done-flag is never
+    published, so the stream raises AT the bad frame instead of yielding
+    garbage pixels — and every frame before it is still delivered
+    bit-exact."""
+    if not fastio.available():
+        pytest.skip("native fastio unavailable")
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, size=(12, 48, 64, 3), dtype=np.uint8)
+    path = str(tmp_path / "bad.avi")
+    write_video_mjpg(path, frames, 30.0)
+    want = fastio.decode_mjpeg_avi(path)
+
+    # kill frame 7's JPEG SOI marker so its decode hard-fails
+    data = bytearray(open(path, "rb").read())
+    pos, found = 12, []
+    while pos + 12 <= len(data):
+        tag = bytes(data[pos : pos + 4])
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag == b"LIST" and bytes(data[pos + 8 : pos + 12]) == b"movi":
+            mp = pos + 12
+            while mp + 8 <= pos + 8 + sz:
+                csz = int.from_bytes(data[mp + 4 : mp + 8], "little")
+                if bytes(data[mp + 2 : mp + 4]) in (b"dc", b"db"):
+                    found.append((mp + 8, csz))
+                mp += 8 + csz + (csz & 1)
+            break
+        pos += 8 + sz + (sz & 1)
+    assert len(found) == 12
+    off, _ = found[7]
+    data[off : off + 2] = b"\x00\x00"
+    with open(path, "wb") as f:
+        f.write(data)
+
+    got = []
+    with pytest.raises(ValueError, match="decode failed|incomplete prefix"):
+        for batch, n_valid in fastio.stream_mjpeg_avi(path, 3, overlap=1):
+            got.append(np.array(batch[:n_valid]))
+    delivered = np.concatenate(got) if got else np.empty((0,) + want.shape[1:])
+    assert delivered.shape[0] <= 7  # nothing at/after the bad frame
+    assert np.array_equal(delivered, want[: delivered.shape[0]])
