@@ -167,14 +167,14 @@ def minibatch_kmeans(
     if key is None:
         key = jax.random.PRNGKey(0)
     p = x.shape[0]
-    init_key, step_key = jax.random.split(key)
+    sample_key, seed_key, step_key = jax.random.split(key, 3)
     if init is not None:
         centers0 = jnp.asarray(init, jnp.float32)
     else:
         idx = jax.random.choice(
-            init_key, p, shape=(min(init_size, p),), replace=False
+            sample_key, p, shape=(min(init_size, p),), replace=False
         )
-        centers0 = _plusplus_init(init_key, x[idx], k)
+        centers0 = _plusplus_init(seed_key, x[idx], k)
 
     def step(carry, skey):
         centers, wsum = carry

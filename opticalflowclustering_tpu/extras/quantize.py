@@ -18,7 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from opticalflowclustering_tpu.cluster.kmeans import kmeans, minibatch_kmeans
+from opticalflowclustering_tpu.cluster.kmeans import (
+    _pairwise_sqdist,
+    kmeans,
+    minibatch_kmeans,
+)
 from opticalflowclustering_tpu.ops.lab import bgr2lab, lab2bgr
 
 
@@ -29,7 +33,12 @@ def quantize_colors(
     sample: int = 4096,
     method: str = "lloyd",
 ) -> jnp.ndarray:
-    """[H,W,3] uint8 → quantized [H,W,3] uint8 (n_clusters LAB colors)."""
+    """[H,W,3] uint8 → quantized [H,W,3] uint8 (n_clusters LAB colors).
+
+    `sample` bounds the clustering subsample for method='lloyd' ONLY;
+    method='minibatch' is sklearn's algorithm and, like it, streams
+    minibatches over ALL pixels (its cost is bounded by batch_size ×
+    n_steps plus one full assignment pass, not by `sample`)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     h, w = image_bgr.shape[-3], image_bgr.shape[-2]
@@ -42,12 +51,7 @@ def quantize_colors(
         idx = jax.random.choice(k1, n, shape=(min(sample, n),), replace=False)
         centers, _ = kmeans(lab[idx], n_clusters, k2)
         # assign every pixel to its nearest center
-        d2 = (
-            jnp.sum(lab * lab, -1, keepdims=True)
-            - 2 * lab @ centers.T
-            + jnp.sum(centers * centers, -1)
-        )
-        labels = jnp.argmin(d2, axis=-1)
+        labels = jnp.argmin(_pairwise_sqdist(lab, centers), axis=-1)
     else:
         raise ValueError(f"unknown method {method!r}")
     quant = jnp.clip(jnp.round(centers), 0, 255).astype(jnp.uint8)[labels]

@@ -150,34 +150,50 @@ def hough_circles_device(
         ay, ax, ok = cand
         cx = (ax + 0.5) * f_dp
         cy = (ay + 0.5) * f_dp
-        ddx = cx - xs_f
-        ddy = cy - ys_f
-        d = jnp.hypot(ddx, ddy)
-        cross = jnp.abs(ddx * uy - ddy * ux)
-        sel = (
-            votable
-            & (d >= min_radius)
-            & (d <= max_radius)
-            & (cross <= tol)
+
+        def heavy(_):
+            ddx = cx - xs_f
+            ddy = cy - ys_f
+            d = jnp.hypot(ddx, ddy)
+            cross = jnp.abs(ddx * uy - ddy * ux)
+            sel = (
+                votable
+                & (d >= min_radius)
+                & (d <= max_radius)
+                & (cross <= tol)
+            )
+            bins_idx = jnp.clip(
+                jnp.round((d - min_radius) / bin_size).astype(jnp.int32),
+                0,
+                nbins - 1,
+            )
+            hist = jnp.zeros((nbins,), jnp.int32).at[bins_idx].add(
+                sel.astype(jnp.int32)
+            )
+            cs = jnp.concatenate(
+                [jnp.zeros((10,), jnp.int32), jnp.cumsum(hist)]
+            )
+            win = cs[10:] - cs[:-10]  # count in bins [j-9 .. j], index j
+            j = jnp.arange(nbins, dtype=jnp.float32)
+            r_cur = (2.0 * j - 9.0) / 20.0 * f_dp + min_radius
+            # score = count / radius, with the denominator floored at 1 px:
+            # sub-pixel windows (r_cur ≤ 0 included) would otherwise score
+            # ~count/1e-6 and a single stray edge pixel near the center
+            # would hijack the argmax from a genuine ring.
+            score = jnp.where(
+                (win > 0) & (r_cur > 0),
+                win.astype(jnp.float32) / jnp.maximum(r_cur, 1.0),
+                -1.0,
+            )
+            b = jnp.argmax(score)
+            return r_cur[b], win[b]
+
+        # ok=False padding slots (top-k beyond the real local maxima) skip
+        # the O(H·W) distance/histogram pass entirely.
+        r_best, support = jax.lax.cond(
+            ok, heavy, lambda _: (jnp.float32(0.0), jnp.int32(0)), None
         )
-        bins_idx = jnp.clip(
-            jnp.round((d - min_radius) / bin_size).astype(jnp.int32),
-            0,
-            nbins - 1,
-        )
-        hist = jnp.zeros((nbins,), jnp.int32).at[bins_idx].add(
-            sel.astype(jnp.int32)
-        )
-        cs = jnp.concatenate([jnp.zeros((10,), jnp.int32), jnp.cumsum(hist)])
-        win = cs[10:] - cs[:-10]  # count in bins [j-9 .. j], index j
-        j = jnp.arange(nbins, dtype=jnp.float32)
-        r_cur = (2.0 * j - 9.0) / 20.0 * f_dp + min_radius
-        score = jnp.where(
-            win > 0, win.astype(jnp.float32) / jnp.maximum(r_cur, 1e-6), -1.0
-        )
-        b = jnp.argmax(score)
-        support = jnp.where(ok, win[b], 0)
-        return None, (cx, cy, r_cur[b], support)
+        return None, (cx, cy, r_best, support)
 
     _, (cxs, cys, rs, supports) = jax.lax.scan(
         estimate, None, (cand_ay, cand_ax, cand_ok)

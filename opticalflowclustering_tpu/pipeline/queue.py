@@ -132,10 +132,13 @@ def process_video_queue_dp(
 
     Artifacts carry the full single-video contract — hue_table,
     rgb_hue_table, per-cell RGBA `centroids` (the reference's `-f`/addnew
-    rows, `KmeanGrids.py:320-339`), mean_magnitude — byte-identical to
-    `process_video_queue`'s (tests/test_queue_dp.py). Retry/resume
-    semantics match it too (a failed batch retries its videos
-    individually)."""
+    rows, `KmeanGrids.py:320-339`), mean_magnitude. The integer tables
+    (hue/rgb_hue/centroids) are byte-identical to
+    `process_video_queue`'s; the float mean_magnitude telemetry is
+    ~1-ulp equal (XLA fuses its hypot+mean chain per local shard shape —
+    parallel/temporal.py's contract; tests/test_queue_dp.py pins both).
+    Retry/resume semantics match it too (a failed batch retries its
+    videos individually)."""
     import collections
     import queue as _q
     import threading
@@ -185,11 +188,13 @@ def process_video_queue_dp(
 
     retry_paths: list[str] = []
     failed_decode: list[VideoResult] = []
+    saved_ok: set[str] = set()
 
     def _save(p: str, tables: dict[str, np.ndarray]) -> None:
         artifact = _artifact_path(out_dir, p)
         np.savez_compressed(artifact, **{k: tables[k] for k in _SAVED_KEYS})
         results.append(VideoResult(p, True, artifact, attempts=1))
+        saved_ok.add(p)
 
     def _run_batch(group):
         names = [p for p, _ in group]
@@ -235,7 +240,13 @@ def process_video_queue_dp(
             _run_batch(group)
         except Exception as e:  # noqa: BLE001 — retry individually
             log.warning("dp batch failed (%s); retrying sequentially", e)
-            retry_paths.extend(p for p, _ in group)
+            # A batch can fail partway through its per-video save loop
+            # (e.g. disk full on video 2 of 4): retry only the videos
+            # whose artifact+result didn't land, preserving the
+            # one-VideoResult-per-input contract.
+            retry_paths.extend(
+                p for p, _ in group if p not in saved_ok
+            )
 
     def _evict_oldest() -> None:
         nonlocal buffered
