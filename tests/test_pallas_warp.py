@@ -149,3 +149,56 @@ def test_fast_mode_epe_on_real_high_motion_frames():
         got = np.asarray(jf(frames[i], frames[i + 1]))
         epe = np.sqrt(((got - want) ** 2).sum(-1))
         assert epe.mean() < 1e-3, (i, epe.mean())
+
+
+@pytest.mark.parametrize("hw,sigma", [((64, 128), 3.0), ((72, 300), 12.0)])
+def test_packed_kernel_matches_quantized_oracle(hw, sigma):
+    """warp_mode='fast16': the bf16-pair packed kernel must equal the
+    quantize-then-exact-gather oracle to float-noise level — the unpack
+    (bf16→f32 widening) is exact, so both paths interpolate the SAME
+    values; only FMA contraction differs between the compiled programs."""
+    from opticalflowclustering_tpu.kernels.warp import quantize_r1_fast16
+
+    r0, r1, flow = _rand_case(hw, sigma)
+    bufs = prepare_fused_level(r0, r1, pack16=True)
+    assert bufs.r1p.shape[1] == 3  # packed layout
+    got = np.asarray(fused_update_matrices(bufs, flow, interpret=True))
+    want = np.asarray(
+        update_matrices_gather(r0, np.asarray(quantize_r1_fast16(r1)), flow)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pack_unpack_roundtrip_exact():
+    """pack_r1_pairs → _unpack5 reproduces bf16(ch0..3) exactly and ch4
+    bit-for-bit (bf16→f32 widening is exact by construction)."""
+    from opticalflowclustering_tpu.kernels.warp import _unpack5, pack_r1_pairs
+
+    x = RNG.normal(0, 100, (2, 5, 16, 128)).astype(np.float32)
+    packed = pack_r1_pairs(x)
+    assert packed.shape == (2, 3, 16, 128)
+    un = np.asarray(jax.vmap(_unpack5)(packed))
+    want = np.asarray(x.astype(jax.numpy.bfloat16).astype(np.float32))
+    np.testing.assert_array_equal(un[:, :4], want[:, :4])
+    np.testing.assert_array_equal(un[:, 4], x[:, 4])  # ch4 exact
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data needed")
+def test_fast16_epe_vs_cv2_real_footage():
+    """End-to-end warp_mode='fast16' on real high-motion reference frames:
+    the bf16 packing must stay ~50× under the 0.1 px EPE target
+    (measured 0.0018 px worst at implementation time)."""
+    import glob
+
+    fs = sorted(glob.glob(f"{REF}/images/601_3_cropped_4_OF/*.png"))[38:42]
+    gray = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2GRAY) for f in fs]
+    params = FarnebackParams(warp_mode="fast16")
+    fn = jax.jit(lambda a, b: farneback_flow(a, b, params))
+    worst = 0.0
+    for a, b in zip(gray, gray[1:]):
+        want = cv2.calcOpticalFlowFarneback(
+            a, b, None, 0.5, 3, 15, 3, 5, 1.2, 0
+        )
+        got = np.asarray(fn(a, b))
+        worst = max(worst, float(np.sqrt(((got - want) ** 2).sum(-1)).mean()))
+    assert worst < 0.01, worst
