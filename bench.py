@@ -73,6 +73,9 @@ def noise_frames(n=N, h=H, w=W, seed=7):
     return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
 
 
+WARP_MODE = "fast"
+
+
 def pipeline_config():
     from opticalflowclustering_tpu.flow.farneback import FarnebackParams
     from opticalflowclustering_tpu.pipeline.bounce import PipelineConfig
@@ -80,10 +83,12 @@ def pipeline_config():
     # warp_mode='fast': the exact Pallas warp+M+solve kernel suite
     # (kernels/warp.py) — bit-faithful bilinear sampling, verified to
     # ~1e-5 px EPE vs cv2 on the committed real high-motion footage.
+    # '--warp-mode fast16' benches the bf16-pair packed gathers instead
+    # (0.002 px EPE); the reported EPE always reflects the benched mode.
     return PipelineConfig(
         chunk=8,
         emit_flow_bgr=False,
-        flow=FarnebackParams(warp_mode="fast"),
+        flow=FarnebackParams(warp_mode=WARP_MODE),
     )
 
 
@@ -336,6 +341,13 @@ def main():
         "datapoint in docs/ARCHITECTURE.md",
     )
     ap.add_argument(
+        "--warp-mode",
+        choices=("fast", "fast16"),
+        default="fast",
+        help="kernel suite to bench: 'fast' (exact, ~1e-5 px EPE) or "
+        "'fast16' (bf16-pair packed gathers, 0.002 px EPE)",
+    )
+    ap.add_argument(
         "--frames",
         type=int,
         default=None,
@@ -345,8 +357,9 @@ def main():
         "ABOVE the 49-frame number, not below",
     )
     args = ap.parse_args()
-    global H, W, N
+    global H, W, N, WARP_MODE
     H, W = RESOLUTIONS[args.res]
+    WARP_MODE = args.warp_mode
     if args.frames is not None:
         N = max(args.frames, 9)
 
