@@ -71,7 +71,13 @@ def process_video_queue(
         for attempt in range(1, max_retries + 2):
             try:
                 frames = read_video_bgr(path, max_frames)
-                out = process_frames(frames, cfg)
+                # The queue persists feature tables only — never the
+                # rendered flow video — so the feature-only pipeline
+                # (packed fetch, no render materialization) is the right
+                # configuration regardless of what the caller's cfg says.
+                out = process_frames(
+                    frames, dataclasses.replace(cfg, emit_flow_bgr=False)
+                )
                 np.savez_compressed(
                     artifact, **{k: out[k] for k in _SAVED_KEYS}
                 )

@@ -201,3 +201,36 @@ def test_dp_queue_survives_bad_video_and_resumes(clips, tmp_path):
     # resume: artifacts exist -> all good videos skipped
     res2 = process_video_queue_dp(clips, out_dir, _mesh(), CFG)
     assert all(r.attempts == 0 for r in res2)
+
+
+def test_processqueue_cli_sequential_and_dp(clips, tmp_path):
+    """The queue CLI (cli/processqueue.py): sequential and dp modes both
+    produce full-contract artifacts + addnew rows, exit 0, and resume."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    out1 = str(tmp_path / "cliseq")
+    addnew = str(tmp_path / "addnew.csv")
+    r = subprocess.run(
+        [sys.executable, "-m", "opticalflowclustering_tpu.cli.processqueue",
+         *clips, "-o", out1, "--addnew", addnew],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len([f for f in os.listdir(out1) if f.endswith(".npz")]) == 3
+    assert os.path.getsize(addnew) > 100
+
+    out2 = str(tmp_path / "clidp")
+    r = subprocess.run(
+        [sys.executable, "-m", "opticalflowclustering_tpu.cli.processqueue",
+         *clips, "-o", out2, "--dp", "2", "--sp", "2"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for p in clips:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        a = load_features(os.path.join(out1, f"{stem}.features.npz"))
+        b = load_features(os.path.join(out2, f"{stem}.features.npz"))
+        for k in ("hue_table", "rgb_hue_table", "centroids"):
+            assert np.array_equal(a[k], b[k]), (p, k)
