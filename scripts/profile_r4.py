@@ -24,8 +24,9 @@ the kernel is at its practical floor:
      the measured warp kernel time (the "≥80% is irreducible gathers"
      bookkeeping ARCHITECTURE.md needs if neither experiment pays).
 
-Each experiment cancels the tunnel's ~3.5 ms dispatch floor by timing two
-trip counts and using the difference (see scripts/gather_cost_probe.py).
+Each experiment cancels the tunnel's dispatch floor (~3.5 ms in rounds
+2-3, measured ~24 ms this session) by timing two trip counts / scan
+lengths and using the difference (see scripts/gather_cost_probe.py).
 """
 
 from __future__ import annotations
@@ -51,7 +52,11 @@ jax.config.update(
 )
 
 ROWS, LANES = 80, 128
-N_LO, N_HI = 2000, 34000
+# Trip counts sized so the HI-LO difference (~35 ms of loop work) clears
+# the tunnel's measured dispatch floor (~24 ms this session) and its
+# ~0.5 ms jitter; with the original 2k/34k counts the differencing was
+# pure noise (a negative per-op time was observed).
+N_LO, N_HI = 100_000, 600_000
 
 
 def _timed(fn, *args):
@@ -113,9 +118,10 @@ def experiment_a_packed_takes():
         # x0's bits stand in for two packed u16 channels; the take moves
         # the f32 vreg, then bitcast → mask/shift → 2 converts unpack it.
         g = jnp.take_along_axis(x0 + i.astype(jnp.float32), idx, axis=-1)
-        u = jax.lax.bitcast_convert_type(g, jnp.uint32)
-        lo = (u & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        hi = (u >> jnp.uint32(16)).astype(jnp.float32)
+        # int32 intermediate: Mosaic lowers i32->f32 but not u32->f32.
+        u = jax.lax.bitcast_convert_type(g, jnp.int32)
+        lo = (u & jnp.int32(0xFFFF)).astype(jnp.float32)
+        hi = jax.lax.shift_right_logical(u, jnp.int32(16)).astype(jnp.float32)
         return lo + hi
 
     t2 = per_op(two_takes, x, idx)
@@ -132,23 +138,30 @@ def experiment_a_packed_takes():
 
 def experiment_b_merge_bound(h=720, w=1280):
     """Upper bound of merging warp+M with box-solve: the deleted M-plane
-    HBM round-trip at measured copy bandwidth vs measured kernel time."""
+    HBM round-trip at measured copy bandwidth vs measured kernel time.
+
+    Bandwidth is measured as the SLOPE between two in-jit scan lengths of
+    a streaming add over a 128 MB buffer, so the tunnel's ~24 ms dispatch
+    floor cancels (a single-dispatch measurement reads the floor, not the
+    memory system — '16 GB/s' was observed that way)."""
     nbytes = 5 * h * w * 4  # M planes, f32
-    # measured copy bandwidth: big HBM->HBM copy via jnp.copy
-    buf = jnp.asarray(np.zeros((64, h, w), np.float32))
+    buf = jnp.asarray(np.zeros((32, h, w), np.float32))  # ~118 MB
 
-    @jax.jit
-    def cp(b):
-        return b + 1.0
+    def scan_add(k):
+        @jax.jit
+        def run(b):
+            def body(c, _):
+                return c + 1.0, ()
 
-    np.asarray(cp(buf))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(cp(buf)[0, 0, :4])
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
-    bw = 2 * buf.nbytes / t  # read+write
+            out, _ = jax.lax.scan(body, b, None, length=k)
+            return out[0, 0, :4]
+
+        return run
+
+    t_hi = _timed(scan_add(120), buf)
+    t_lo = _timed(scan_add(20), buf)
+    per_iter = (t_hi - t_lo) / 100.0
+    bw = 2 * buf.nbytes / per_iter  # read+write per scan step
     saving = 2 * nbytes / bw  # write-then-read deleted
     print(
         f"B. measured HBM stream bandwidth ~{bw / 1e9:.0f} GB/s; deleting "
@@ -157,45 +170,20 @@ def experiment_b_merge_bound(h=720, w=1280):
     return saving
 
 
-def experiment_c_accounting(saving_b):
-    """Time the real fused warp+M step per image-iteration and bound the
-    gather share with the measured per-take cost."""
-    from opticalflowclustering_tpu.flow.farneback import FarnebackParams
-    from opticalflowclustering_tpu.pipeline.bounce import (
-        PipelineConfig,
-        _stack_chunks,
-        _video_step,
-    )
+def _bench_frames(kind, n=49):
+    """smooth = the bench headline's synthetic-motion clip; noise =
+    per-frame independent uniform noise (worst-case candidate ranges)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
 
-    # End-to-end per-pair time at 720p (the bench's configuration).
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, size=(17, 720, 1280, 3), dtype=np.uint8)
-    cfg = PipelineConfig(chunk=8, emit_flow_bgr=False,
-                         flow=FarnebackParams(warp_mode="fast"))
-    chunks, n_pairs = _stack_chunks(frames, cfg.chunk)
-    dev = jax.device_put(chunks)
-    np.asarray(_video_step(dev, cfg))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(_video_step(dev, cfg))
-        ts.append(time.perf_counter() - t0)
-    per_pair = min(ts) / n_pairs
-    # 3 warp+M image-iterations/pair at the top level dominate (plus
-    # quarter-cost L1 etc.): ARCHITECTURE.md's measured ~0.65 ms/img-iter.
-    print(
-        f"C. end-to-end {per_pair * 1e3:.2f} ms/pair at 720p; "
-        f"M-merge bound from B covers "
-        f"{saving_b * 3 / per_pair * 100:.1f}% of a pair "
-        f"(3 top-level img-iters)"
-    )
+    return bench.synth_frames(n) if kind == "smooth" else bench.noise_frames(n)
 
 
 def experiment_d_fast16_end_to_end():
     """The committed warp_mode='fast16' (bf16-pair packed gathers,
-    kernels/warp.py pack_r1_pairs) vs 'fast' at the bench configuration:
-    whole-clip fps for both modes, plus EPE vs cv2 on the real footage
-    to confirm the measured 0.002 px quantization cost on-chip."""
+    kernels/warp.py pack_r1_pairs) vs 'fast', on BOTH the bench headline's
+    smooth-motion clip and pure-noise frames (pathological candidate
+    ranges). Returns {(mode, kind): s/pair} for experiment C."""
     from opticalflowclustering_tpu.flow.farneback import FarnebackParams
     from opticalflowclustering_tpu.pipeline.bounce import (
         PipelineConfig,
@@ -203,26 +191,47 @@ def experiment_d_fast16_end_to_end():
         _video_step,
     )
 
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, size=(49, 720, 1280, 3), dtype=np.uint8)
-    for mode in ("fast", "fast16"):
-        cfg = PipelineConfig(chunk=8, emit_flow_bgr=False,
-                             flow=FarnebackParams(warp_mode=mode))
-        chunks, n_pairs = _stack_chunks(frames, cfg.chunk)
-        dev = jax.device_put(chunks)
-        np.asarray(_video_step(dev, cfg))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+    out = {}
+    for kind in ("smooth", "noise"):
+        frames = _bench_frames(kind)
+        for mode in ("fast", "fast16"):
+            cfg = PipelineConfig(chunk=8, emit_flow_bgr=False,
+                                 flow=FarnebackParams(warp_mode=mode))
+            chunks, n_pairs = _stack_chunks(frames, cfg.chunk)
+            dev = jax.device_put(chunks)
             np.asarray(_video_step(dev, cfg))
-            ts.append(time.perf_counter() - t0)
-        print(f"D. {mode}: {n_pairs / min(ts):.1f} fps "
-              f"({min(ts) / n_pairs * 1e3:.2f} ms/pair) at 720p")
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_video_step(dev, cfg))
+                ts.append(time.perf_counter() - t0)
+            out[(mode, kind)] = min(ts) / n_pairs
+            print(f"D. {mode}/{kind}: {n_pairs / min(ts):.1f} fps "
+                  f"({min(ts) / n_pairs * 1e3:.2f} ms/pair) at 720p")
+    return out
+
+
+def experiment_c_accounting(saving_b, d_times):
+    """Gather-share accounting from the fast→fast16 delta: fast16 removes
+    40% of the candidate takes (5 channel planes → 3) AND 40% of the
+    window-DMA bytes, so Δt/0.4 upper-bounds the total take+DMA cost and
+    its share of the pair; the M-merge bound from B is quoted against the
+    same pair time (3 top-level img-iters dominate)."""
+    for kind in ("smooth", "noise"):
+        per_pair = d_times[("fast", kind)]
+        delta = per_pair - d_times[("fast16", kind)]
+        share = delta / 0.4 / per_pair
+        print(
+            f"C. {kind}: {per_pair * 1e3:.2f} ms/pair; fast16 delta "
+            f"{delta * 1e3:.2f} ms/pair -> candidate gathers+window DMAs "
+            f">= {share * 100:.0f}% of the pair; M-merge bound from B "
+            f"covers {saving_b * 3 / per_pair * 100:.1f}%"
+        )
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
     t2, t1 = experiment_a_packed_takes()
     saving = experiment_b_merge_bound()
-    experiment_c_accounting(saving)
-    experiment_d_fast16_end_to_end()
+    d_times = experiment_d_fast16_end_to_end()
+    experiment_c_accounting(saving, d_times)
