@@ -127,7 +127,7 @@ def _check_hues(got, want, saturation, tag, min_exact=0.97):
     )
 
 
-@pytest.mark.parametrize("warp_mode", ["fast", "exact"])
+@pytest.mark.parametrize("warp_mode", ["fast", "fast16", "exact"])
 def test_full_video_path_matches_reference_on_real_footage(
     real_clip, warp_mode
 ):
