@@ -480,6 +480,8 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(tpu_fps / cpu_fps, 1),
+                "warp_mode": WARP_MODE,
+                "flow_epe_px_vs_cv2": round(epe, 6),
                 "runs_fps": [round(v, 1) for v in tpu_runs],
                 "noise_frames_fps": round(noise_fps, 1),
                 "decode_inclusive_fps_stream": round(
