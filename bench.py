@@ -480,6 +480,10 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(tpu_fps / cpu_fps, 1),
+                # the denominator, so the ratio is auditable: a loaded
+                # 1-core host can depress the cv2 baseline (measured
+                # 0.47-1.54 fps across sessions), inflating vs_baseline
+                "cpu_baseline_fps": round(cpu_fps, 3),
                 "warp_mode": WARP_MODE,
                 "flow_epe_px_vs_cv2": round(epe, 6),
                 "runs_fps": [round(v, 1) for v in tpu_runs],
