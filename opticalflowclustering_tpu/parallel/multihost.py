@@ -86,3 +86,48 @@ def global_mesh(sp: int | None = None, axis_names=("dp", "sp")) -> Mesh:
         raise ValueError(f"{len(devs)} devices not divisible by sp={sp}")
     arr = np.array(devs).reshape(len(devs) // sp, sp)
     return Mesh(arr, axis_names)
+
+
+def local_submesh(mesh: Mesh, dp_axis: str = "dp") -> Mesh:
+    """This process's slice of a dp-major global mesh: the dp rows whose
+    devices are ALL addressable locally, as a Mesh with the same axis names.
+
+    This is what lets host-local data (decoded video frames that never
+    leave their host) drive mesh-sharded jits under `jax.distributed`:
+    a jit over a mesh of purely-addressable devices is an ordinary
+    single-controller computation, so plain numpy inputs are legal — no
+    `make_array_from_callback` global-array assembly, and no cross-host
+    collectives (each host's work is independent by construction; the
+    video queue partitions the work list with `host_shard` first).
+
+    Every dp row must be entirely local or entirely remote (true for any
+    `global_mesh(...)` whenever sp divides the per-host device count);
+    a row mixing processes would strand its local devices, so it raises.
+    Single-process meshes pass through unchanged."""
+    pid = jax.process_index()
+    names = list(mesh.axis_names)
+    di = names.index(dp_axis)
+    devs = np.moveaxis(mesh.devices, di, 0)
+    rows_local = [
+        all(d.process_index == pid for d in devs[r].flat)
+        for r in range(devs.shape[0])
+    ]
+    mixed = [
+        r
+        for r in range(devs.shape[0])
+        if not rows_local[r]
+        and any(d.process_index == pid for d in devs[r].flat)
+    ]
+    if mixed:
+        raise ValueError(
+            f"mesh rows {mixed} along {dp_axis!r} mix local and remote "
+            "devices; build the mesh dp-major across hosts "
+            "(e.g. multihost.global_mesh) so each host owns whole dp rows"
+        )
+    keep = [r for r in range(devs.shape[0]) if rows_local[r]]
+    if not keep:
+        raise ValueError(
+            f"process {pid} owns no complete {dp_axis!r} row of the mesh"
+        )
+    sub = np.moveaxis(devs[keep], 0, di)
+    return Mesh(sub, mesh.axis_names)

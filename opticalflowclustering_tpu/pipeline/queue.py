@@ -117,9 +117,18 @@ def process_video_queue_dp(
     axis, each video's frames the sp axis, so a dp×sp mesh crunches
     dp videos per dispatch through `sharded_hue_pipeline_videos`.
 
-    Under `jax.distributed` (parallel/multihost.py) each host first takes
-    its round-robin share of the list, so decode stays host-local and only
-    device-side work is distributed.
+    Under `jax.distributed` (`shard_hosts=True`, the default) each host
+    first takes its round-robin share of the list (`host_shard`) and then
+    fans out over ITS OWN devices only: the global mesh is narrowed to
+    this host's dp rows via `multihost.local_submesh`, so decoded frames
+    (host-local numpy) feed an all-addressable-device jit — legal
+    single-controller dispatch, no global-array assembly — and NOTHING
+    crosses DCN during video processing (sp halos ride each host's ICI;
+    hosts are independent by construction). Each process returns
+    VideoResults for its own share only; artifacts land on the (shared)
+    filesystem under `out_dir`, so resume works across runs regardless of
+    which host previously owned a video. Executed under a real 2-process
+    cluster in tests/test_multihost.py::test_two_process_dp_queue.
 
     Streaming dataflow with bounded host memory (contrast with the
     reference, which pays decode inline for every frame,
@@ -152,20 +161,25 @@ def process_video_queue_dp(
     import jax
 
     from opticalflowclustering_tpu.io.video import read_video_bgr
-    from opticalflowclustering_tpu.parallel.multihost import host_shard
+    from opticalflowclustering_tpu.parallel.multihost import (
+        host_shard,
+        local_submesh,
+    )
     from opticalflowclustering_tpu.parallel.temporal import (
         sharded_hue_pipeline_videos,
     )
 
     os.makedirs(out_dir, exist_ok=True)
+    if shard_hosts and jax.process_count() > 1:
+        paths = host_shard(video_paths)
+        # Narrow to this host's dp rows: decoded numpy frames can only
+        # feed a jit whose mesh is fully addressable from this process.
+        mesh = local_submesh(mesh, dp_axis)
+    else:
+        paths = list(video_paths)
     dp = mesh.shape[dp_axis]
     sp = mesh.shape[sp_axis]
     max_buffered = 2 * dp
-    paths = (
-        host_shard(video_paths)
-        if shard_hosts and jax.process_count() > 1
-        else list(video_paths)
-    )
 
     results: list[VideoResult] = []
     todo = []
@@ -238,13 +252,18 @@ def process_video_queue_dp(
     buckets: dict[tuple, list] = collections.defaultdict(list)
     order: collections.deque = collections.deque()  # FIFO for eviction
     buffered = 0
-    stats = {"peak_buffered_videos": 0, "batches": 0, "evictions": 0}
+    stats = {"peak_buffered_videos": 0, "batches": 0, "evictions": 0,
+             "batch_failures": 0}
 
     def _dispatch(group) -> None:
         try:
-            stats["batches"] += 1
             _run_batch(group)
+            # Counted only on success so `batches >= 1 and
+            # batch_failures == 0` PROVES mesh dispatch ran — the
+            # sequential retry fallback below cannot fake it.
+            stats["batches"] += 1
         except Exception as e:  # noqa: BLE001 — retry individually
+            stats["batch_failures"] += 1
             log.warning("dp batch failed (%s); retrying sequentially", e)
             # A batch can fail partway through its per-video save loop
             # (e.g. disk full on video 2 of 4): retry only the videos
