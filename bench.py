@@ -73,6 +73,23 @@ def noise_frames(n=N, h=H, w=W, seed=7):
     return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
 
 
+def real_footage_frames(n=N, h=H, w=W):
+    """Bench input with REAL motion statistics (VERDICT r4 #3): the
+    committed reference footage `images/601_3_cropped_3_OF` (75 frames,
+    232×220) tiled spatially to the bench geometry. Tiling preserves the
+    per-pixel flow field exactly (every tile sees the same motion), so the
+    warp kernels' data-dependent candidate-range cost — the dominant
+    kernel cost — is measured at the real footage's statistics rather
+    than bracketed between smooth-synthetic and pure-noise inputs."""
+    import cv2
+
+    fs = sorted(glob.glob(f"{REF}/images/601_3_cropped_3_OF/*.png"))
+    imgs = [cv2.imread(fs[i % len(fs)]) for i in range(n)]
+    ty = -(-h // imgs[0].shape[0])
+    tx = -(-w // imgs[0].shape[1])
+    return np.stack([np.tile(f, (ty, tx, 1))[:h, :w] for f in imgs])
+
+
 WARP_MODE = "fast16"
 
 
@@ -147,7 +164,10 @@ def bench_epe_vs_cv2(frames: np.ndarray) -> tuple[float, int]:
 
 def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
     """Whole-clip throughput: ONE device dispatch per run (lax.scan over
-    chunks), completion measured by fetching the feature tables."""
+    chunks), completion measured by fetching the feature tables. Returns
+    n_pairs / MEDIAN(repeat times) — VERDICT r4 weak #3: min() made each
+    run a best-of, stacking a flattering default on top of the
+    median-of-runs headline; the median is robust in both directions."""
     import jax
 
     from opticalflowclustering_tpu.pipeline.bounce import (
@@ -173,7 +193,7 @@ def bench_tpu(frames: np.ndarray, repeats: int = 3) -> float:
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return n_pairs / min(times)
+    return n_pairs / float(np.median(times))
 
 
 def bench_decode_inclusive(frames: np.ndarray) -> dict[str, float]:
@@ -438,6 +458,27 @@ def main():
         f"ranges): {noise_fps:.1f} fps",
         file=sys.stderr,
     )
+    real_fps = None
+    if os.path.isdir(REF):
+        real_fps = bench_tpu(real_footage_frames(n=N, h=H, w=W), repeats=2)
+        print(
+            f"tpu pipeline on real-footage motion statistics "
+            f"(601_3_cropped_3_OF tiled to {args.res}): {real_fps:.1f} fps",
+            file=sys.stderr,
+        )
+    sustained_fps = None
+    fps_1440p = None
+    if args.res == "720p" and args.frames is None:
+        # VERDICT r4 #2: driver-captured sustained + scaling datapoints.
+        # Sustained: one 192-pair pass of the same program (longer scan
+        # amortizes the per-clip dispatch+fetch).
+        sustained_fps = bench_tpu(synth_frames(n=193, h=H, w=W), repeats=1)
+        print(f"sustained (192-pair single pass): {sustained_fps:.1f} fps",
+              file=sys.stderr)
+        h14, w14 = RESOLUTIONS["1440p"]
+        fps_1440p = bench_tpu(synth_frames(n=17, h=h14, w=w14), repeats=2)
+        print(f"1440p short-clip datapoint (16 pairs): {fps_1440p:.1f} fps "
+              f"(4x the 720p pixels)", file=sys.stderr)
     dec = bench_decode_inclusive(frames)
     print(
         "decode-inclusive (mp4 on disk -> OutCSV bytes, "
@@ -486,8 +527,19 @@ def main():
                 "cpu_baseline_fps": round(cpu_fps, 3),
                 "warp_mode": WARP_MODE,
                 "flow_epe_px_vs_cv2": round(epe, 6),
+                # each run is the MEDIAN of its 3 repeats (not best-of)
                 "runs_fps": [round(v, 1) for v in tpu_runs],
                 "noise_frames_fps": round(noise_fps, 1),
+                "real_footage_fps": (
+                    round(real_fps, 1) if real_fps is not None else None
+                ),
+                "sustained_fps": (
+                    round(sustained_fps, 1)
+                    if sustained_fps is not None else None
+                ),
+                "fps_1440p": (
+                    round(fps_1440p, 1) if fps_1440p is not None else None
+                ),
                 "decode_inclusive_fps_stream": round(
                     dec["e2e_fps_stream"], 1
                 ),
