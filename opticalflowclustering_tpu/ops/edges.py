@@ -37,15 +37,17 @@ def _deriv_kernels(order: int, ksize: int) -> np.ndarray:
 
 
 def sobel(
-    img: jnp.ndarray, dx: int, dy: int, ksize: int = 3
+    img: jnp.ndarray, dx: int, dy: int, ksize: int = 3,
+    border: str = "reflect101",
 ) -> jnp.ndarray:
     """cv2.Sobel(img, CV_32F, dx, dy, ksize) / cv2.Scharr when ksize=-1.
-    [..., H, W] → float32."""
+    [..., H, W] → float32. `border` matches cv2.Sobel's default
+    (BORDER_REFLECT_101); cv2.Canny's internal Sobel uses 'replicate'."""
     kx = _deriv_kernels(dx, ksize)
     ky = _deriv_kernels(dy, ksize)
     x = img.astype(jnp.float32)
-    x = sep_filter_axis(x, ky, axis=-2, border="reflect101")
-    x = sep_filter_axis(x, kx, axis=-1, border="reflect101")
+    x = sep_filter_axis(x, ky, axis=-2, border=border)
+    x = sep_filter_axis(x, kx, axis=-1, border=border)
     return x
 
 
@@ -75,16 +77,35 @@ def canny(
 ) -> jnp.ndarray:
     """cv2.Canny for a uint8 [..., H, W] image → uint8 edge map {0, 255}.
 
-    Functional parity with OpenCV (aperture 3): Sobel gradients, L1 (default)
-    or L2 magnitude, OpenCV's tan(22.5°)-sector NMS, double threshold, and
-    hysteresis to fixpoint via bounded iterative strong-edge propagation.
+    BIT-EXACT re-derivation of OpenCV's aperture-3 path (validated
+    pixel-for-pixel on the reference demo images at 50/100 and 75/200):
+
+    * gradients via Sobel-3 with BORDER_REPLICATE — cv2.Canny's internal
+      Sobel border, NOT cv2.Sobel's reflect-101 default (the mismatch
+      shows up as phantom/missing edges exactly on image border rows);
+    * INTEGER L1 magnitude (|gx|+|gy| on the int16 Sobel values) with
+      integer thresholds, or int64 squared magnitude for l2gradient;
+    * cv2's fixed-point sector NMS: |gy|·2^15 compared against
+      |gx|·TG22 (TG22 = 13573 ≈ tan22.5°·2^15) and |gx|·TG22 + |gx|·2^16
+      (tan67.5° = tan22.5° + 2), sign via the int XOR of gx, gy, with
+      cv2's tie rules — (>, ≥) for the horizontal/vertical sectors and
+      STRICT > on both diagonal neighbors;
+    * hysteresis to fixpoint via iterative strong-edge propagation over
+      the weak mask (a bounded `lax.while_loop` — the TPU formulation of
+      OpenCV's BFS stack), zero magnitude outside the image.
     """
-    f32 = jnp.float32
-    low, high = f32(min(threshold1, threshold2)), f32(max(threshold1, threshold2))
-    gx = sobel(img, 1, 0, 3)
-    gy = sobel(img, 0, 1, 3)
+    i32 = jnp.int32
+    lo_f, hi_f = min(threshold1, threshold2), max(threshold1, threshold2)
     if l2gradient:
-        mag = jnp.sqrt(gx * gx + gy * gy)
+        # cv2: thresholds clipped to 2^15-1 then squared (int64 compare).
+        low = int(min(32767.0, lo_f)) ** 2
+        high = int(min(32767.0, hi_f)) ** 2
+    else:
+        low, high = int(lo_f), int(hi_f)
+    gx = sobel(img, 1, 0, 3, border="replicate").astype(i32)
+    gy = sobel(img, 0, 1, 3, border="replicate").astype(i32)
+    if l2gradient:
+        mag = (gx.astype(jnp.int64) * gx + gy.astype(jnp.int64) * gy)
     else:
         mag = jnp.abs(gx) + jnp.abs(gy)
 
@@ -95,13 +116,13 @@ def canny(
     def nb(dy, dx):
         return mp[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
-    # Sector selection à la OpenCV: compare |gy|·2^15 against tan22.5/tan67.5
-    ax, ay = jnp.abs(gx), jnp.abs(gy)
-    tg22 = f32(0.4142135623730950488016887242097)
-    tg67 = f32(2.4142135623730950488016887242097)
-    horiz = ay < ax * tg22  # gradient mostly horizontal → compare l/r
-    vert = ay > ax * tg67  # mostly vertical → compare up/down
-    diag1 = (jnp.sign(gx) == jnp.sign(gy)) & ~horiz & ~vert
+    # cv2's integer sector selection (CANNY_SHIFT = 15).
+    ax, ay = jnp.abs(gx), jnp.abs(gy) << 15
+    tg22x = ax * 13573
+    tg67x = tg22x + (ax << 16)
+    horiz = ay < tg22x  # gradient mostly horizontal → compare l/r
+    vert = ay > tg67x  # mostly vertical → compare up/down
+    diag1 = ((gx ^ gy) >= 0) & ~horiz & ~vert
     keep = jnp.where(
         horiz,
         (mag > nb(0, -1)) & (mag >= nb(0, 1)),
@@ -110,8 +131,8 @@ def canny(
             (mag > nb(-1, 0)) & (mag >= nb(1, 0)),
             jnp.where(
                 diag1,
-                (mag > nb(-1, -1)) & (mag >= nb(1, 1)),
-                (mag > nb(-1, 1)) & (mag >= nb(1, -1)),
+                (mag > nb(-1, -1)) & (mag > nb(1, 1)),
+                (mag > nb(-1, 1)) & (mag > nb(1, -1)),
             ),
         ),
     )
