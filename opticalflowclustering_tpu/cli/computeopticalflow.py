@@ -23,7 +23,7 @@ def main(argv=None):
         help="flow-warp implementation: 'fast' = fused Pallas kernels "
         "(~1e-5 px EPE vs cv2, production default); 'fast16' = the same "
         "kernels with bf16-pair packed gathers (40%% fewer takes, "
-        "0.002 px EPE); 'exact' = bit-faithful "
+        "0.0043 px EPE); 'exact' = bit-faithful "
         "XLA gather; 'select' = legacy gather-free warp, INEXACT at motion "
         "discontinuities (0.1-1 px EPE), kept for comparison only",
     )

@@ -50,7 +50,7 @@ def parse_arguments(argv=None):
         help="flow-warp implementation (flow.farneback.FarnebackParams): "
         "'fast' is the fused Pallas kernel suite (~1e-5 px EPE vs cv2, "
         "the production default); 'fast16' the same kernels with "
-        "bf16-pair packed gathers (40%% fewer takes, 0.002 px EPE); "
+        "bf16-pair packed gathers (40%% fewer takes, 0.0043 px EPE); "
         "'exact' the bit-faithful XLA gather; "
         "'select' the legacy gather-free warp — INEXACT at motion "
         "discontinuities (0.1-1 px EPE), kept for comparison only",

@@ -63,10 +63,14 @@ class FarnebackParams:
                  f32 vreg (kernels/warp.py pack_r1_pairs): 40% fewer
                  candidate lane-gathers and 40% smaller window DMAs —
                  the takes are the kernel's dominant cost. Quantization
-                 cost measured end-to-end on the real reference footage:
-                 worst mean EPE 0.0018 px vs cv2 (exact path 1e-5;
-                 target < 0.1). Non-TPU backends run the value-identical
-                 quantize-then-exact-gather emulation.
+                 cost, canonical number: worst mean EPE 0.0043 px vs cv2
+                 over the bench's 27-pair real-footage set on chip
+                 (bench.py real_pairs, BENCH_r04+; exact path 1e-5;
+                 target < 0.1). The 3-pair CPU-backend test subset
+                 measures 0.0018 px (tests/test_pallas_warp.py) — a
+                 smaller set, not a contradiction. Non-TPU backends run
+                 the value-identical quantize-then-exact-gather
+                 emulation.
       'select' — legacy gather-free select-warp (shifted-copy where-chains,
                  round 1's fast mode): exact for displacements within
                  ±warp_radius whose integer part is locally smooth; the

@@ -131,10 +131,11 @@ def pack_r1_pairs(r1p: jnp.ndarray) -> jnp.ndarray:
     """[B, 5, H', W'] f32 r1 buffer → [B, 3, H', W'] packed (warp_mode=
     'fast16'): channels (0,1) and (2,3) as bf16 pairs, channel 4 exact.
     Zero padding packs to zero bits, so every masked-read contract is
-    unchanged. Quantization cost measured end-to-end on the real
-    reference footage: worst mean EPE 0.0018 px vs cv2 (the exact path:
-    0.00001 px; target < 0.1 px) — the box-sum averaging of the solve
-    washes the per-pixel quantization noise out."""
+    unchanged. Quantization cost end-to-end: worst mean EPE 0.0043 px vs
+    cv2 over the bench's 27-pair real-footage set on chip (the canonical
+    number — bench.py/BENCH_r04+; exact path 0.00001 px; target
+    < 0.1 px) — the box-sum averaging of the solve washes the per-pixel
+    quantization noise out."""
     return jnp.stack(
         [
             _pack_pair(r1p[:, 0], r1p[:, 1]),
@@ -518,7 +519,7 @@ def prepare_fused_level_cf(
     `pack16=True` (warp_mode='fast16') stores r1 as 3 planes with
     channels (0,1)/(2,3) bf16-packed per f32 (pack_r1_pairs): 40% fewer
     candidate lane-gathers and 40% smaller window DMAs in the warp
-    kernel, at a measured 0.002 px EPE cost. r0 stays full f32 — only
+    kernel, at a measured 0.0043 px worst EPE cost (bench.py 27-pair set, on chip). r0 stays full f32 — only
     the gathered tensor pays the packing."""
     lead = r0.shape[:-3]
     h, w = r0.shape[-2], r0.shape[-1]

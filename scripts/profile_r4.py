@@ -158,9 +158,10 @@ def experiment_b_merge_bound(h=720, w=1280):
 
         return run
 
-    t_hi = _timed(scan_add(120), buf)
-    t_lo = _timed(scan_add(20), buf)
-    per_iter = (t_hi - t_lo) / 100.0
+    K_HI, K_LO = 120, 20
+    t_hi = _timed(scan_add(K_HI), buf)
+    t_lo = _timed(scan_add(K_LO), buf)
+    per_iter = (t_hi - t_lo) / (K_HI - K_LO)
     bw = 2 * buf.nbytes / per_iter  # read+write per scan step
     saving = 2 * nbytes / bw  # write-then-read deleted
     print(
@@ -173,8 +174,7 @@ def experiment_b_merge_bound(h=720, w=1280):
 def _bench_frames(kind, n=49):
     """smooth = the bench headline's synthetic-motion clip; noise =
     per-frame independent uniform noise (worst-case candidate ranges)."""
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    import bench
+    import bench  # repo root already on sys.path (module import time)
 
     return bench.synth_frames(n) if kind == "smooth" else bench.noise_frames(n)
 
@@ -214,9 +214,12 @@ def experiment_d_fast16_end_to_end():
 def experiment_c_accounting(saving_b, d_times):
     """Gather-share accounting from the fast→fast16 delta: fast16 removes
     40% of the candidate takes (5 channel planes → 3) AND 40% of the
-    window-DMA bytes, so Δt/0.4 upper-bounds the total take+DMA cost and
-    its share of the pair; the M-merge bound from B is quoted against the
-    same pair time (3 top-level img-iters dominate)."""
+    window-DMA bytes, so Δt/0.4 ESTIMATES the total take+DMA share of the
+    pair, assuming the removed 40% costs the same per unit as the rest
+    and doesn't overlap other work — an estimate, not a bound in either
+    direction (ARCHITECTURE.md quotes it as '~X%'); the M-merge bound
+    from B is quoted against the same pair time (3 top-level img-iters
+    dominate)."""
     for kind in ("smooth", "noise"):
         per_pair = d_times[("fast", kind)]
         delta = per_pair - d_times[("fast16", kind)]
@@ -224,7 +227,8 @@ def experiment_c_accounting(saving_b, d_times):
         print(
             f"C. {kind}: {per_pair * 1e3:.2f} ms/pair; fast16 delta "
             f"{delta * 1e3:.2f} ms/pair -> candidate gathers+window DMAs "
-            f">= {share * 100:.0f}% of the pair; M-merge bound from B "
+            f"~{share * 100:.0f}% of the pair (uniform-per-take "
+            f"estimate); M-merge bound from B "
             f"covers {saving_b * 3 / per_pair * 100:.1f}%"
         )
 

@@ -186,8 +186,10 @@ def test_pack_unpack_roundtrip_exact():
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data needed")
 def test_fast16_epe_vs_cv2_real_footage():
     """End-to-end warp_mode='fast16' on real high-motion reference frames:
-    the bf16 packing must stay ~50× under the 0.1 px EPE target
-    (measured 0.0018 px worst at implementation time)."""
+    the bf16 packing must stay ~50× under the 0.1 px EPE target. This
+    3-pair CPU-backend subset measured 0.0018 px worst at implementation
+    time; the CANONICAL fast16 EPE is 0.0043 px — the bench's full
+    27-pair real-footage set on chip (bench.py, BENCH_r04+)."""
     import glob
 
     fs = sorted(glob.glob(f"{REF}/images/601_3_cropped_4_OF/*.png"))[38:42]
