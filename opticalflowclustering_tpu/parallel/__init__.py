@@ -7,4 +7,5 @@ from opticalflowclustering_tpu.parallel.temporal import (
 from opticalflowclustering_tpu.parallel.spatial import (
     spatial_farneback_flow,
     spatial_farneback_flow_padded,
+    spatial_hue_pipeline,
 )

@@ -352,25 +352,17 @@ def spatial_farneback_flow(
     )
 
 
-@functools.lru_cache(maxsize=64)
-def _spatial_farneback_fn(
-    mesh: Mesh,
+def _build_shard_flow(
     axis_name: str,
     params: FarnebackParams,
     ndim: int,
     h: int,
     w: int,
+    n_dev: int,
 ):
-    """Jitted executable for spatial_farneback_flow, memoized on the static
-    configuration. A bare shard_map call outside jit executes EAGERLY —
-    every traced op in the levels×iterations body dispatches as its own
-    XLA program (measured ~16× slower end to end at 720p×4 shards on CPU:
-    ~240 s eager vs ~15 s as one jitted program)."""
-    n_dev = mesh.shape[axis_name]
-    nb = ndim - 2
-    spec = P(*([None] * nb), axis_name, None)
-    flow_spec = P(*([None] * nb), axis_name, None, None)
-
+    """The per-shard flow body (runs INSIDE shard_map): local rows in,
+    local flow rows out. Shared by the flow-only entry point and the
+    end-to-end spatial hue pipeline below."""
     plan = pyramid_plan(h, w, params)
     margins = _level_margins(params)
     mhalf = params.winsize // 2
@@ -487,6 +479,29 @@ def _spatial_farneback_fn(
             flow = flow_own
         return flow
 
+    return shard_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _spatial_farneback_fn(
+    mesh: Mesh,
+    axis_name: str,
+    params: FarnebackParams,
+    ndim: int,
+    h: int,
+    w: int,
+):
+    """Jitted executable for spatial_farneback_flow, memoized on the static
+    configuration. A bare shard_map call outside jit executes EAGERLY —
+    every traced op in the levels×iterations body dispatches as its own
+    XLA program (measured ~16× slower end to end at 720p×4 shards on CPU:
+    ~240 s eager vs ~15 s as one jitted program)."""
+    n_dev = mesh.shape[axis_name]
+    nb = ndim - 2
+    spec = P(*([None] * nb), axis_name, None)
+    flow_spec = P(*([None] * nb), axis_name, None, None)
+    shard_fn = _build_shard_flow(axis_name, params, ndim, h, w, n_dev)
+
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -542,3 +557,121 @@ def spatial_farneback_flow_padded(
         _pad(prev_img), _pad(next_img), mesh, axis_name, params
     )
     return jax.lax.slice_in_dim(flow, 0, h, axis=flow.ndim - 3)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end spatial-TP hue pipeline (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _spatial_hue_fn(
+    mesh: Mesh,
+    axis_name: str,
+    grid,
+    params: FarnebackParams,
+    rb_swap: bool,
+    ndim: int,
+    h: int,
+    w: int,
+):
+    from opticalflowclustering_tpu.features.dominant_color import (
+        dominant_hue_k1_frames,
+    )
+    from opticalflowclustering_tpu.features.grid import grid_mean_hue
+    from opticalflowclustering_tpu.flow.render import (
+        render_flow_hsv_bgr_given_range,
+    )
+    from opticalflowclustering_tpu.ops.polar import cart_to_polar
+
+    n_dev = mesh.shape[axis_name]
+    nb = ndim - 2
+    spec = P(*([None] * nb), axis_name, None)
+    shard_flow = _build_shard_flow(axis_name, params, ndim, h, w, n_dev)
+
+    def step(prev_loc, nxt_loc):
+        flow_loc = shard_flow(prev_loc, nxt_loc)  # [..., h_loc, W, 2]
+        mag, _ = cart_to_polar(flow_loc[..., 0], flow_loc[..., 1])
+        # Per-frame GLOBAL min-max (the reference's NORM_MINMAX,
+        # `computeOpticalFlowModule.py:31`) as shard-local reductions +
+        # pmin/pmax over ICI — SURVEY §5's "cross-shard reduction in the
+        # middle of an otherwise local kernel chain". min/max are exactly
+        # associative, so the range is bitwise the unsharded one.
+        smin = jax.lax.pmin(
+            jnp.min(mag, axis=(-2, -1), keepdims=True), axis_name
+        )
+        smax = jax.lax.pmax(
+            jnp.max(mag, axis=(-2, -1), keepdims=True), axis_name
+        )
+        bgr_loc = render_flow_hsv_bgr_given_range(flow_loc, smin, smax)
+        # Grid cells don't align with shard boundaries (720 rows / 14 grid
+        # rows = 51-row cells vs 180-row shards), so the grid stage runs
+        # on the gathered frame: ONE uint8 all_gather (H·W·3 bytes — 2.7
+        # MB at 720p, trivial next to the flow) and every later op is
+        # bit-identical to the unsharded pipeline by construction.
+        bgr = jax.lax.all_gather(
+            bgr_loc, axis_name, axis=bgr_loc.ndim - 3, tiled=True
+        )
+        centroids, hue = dominant_hue_k1_frames(bgr, grid, rb_swap=rb_swap)
+        rgb_hue = grid_mean_hue(bgr, grid)
+        mean_mag = jax.lax.psum(
+            jnp.sum(mag, axis=(-2, -1)), axis_name
+        ) * jnp.float32(1.0 / (h * w))
+        return hue, rgb_hue, centroids, mean_mag
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(P(), P(), P(), P()),  # replicated post-gather outputs
+        check_vma=False,  # Pallas warp kernels run inside on real TPUs
+    )
+    return jax.jit(sharded)
+
+
+def spatial_hue_pipeline(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "tp",
+    grid=None,
+    params: FarnebackParams = FarnebackParams(),
+    rb_swap: bool = True,
+):
+    """END-TO-END spatial tensor parallelism: the flagship features of one
+    frame pair with the frame's ROW axis sharded across `axis_name`
+    (SURVEY §2.4 TP row + §5 long-context row, VERDICT r4 #7).
+
+    prev_img/next_img: [..., H, W] uint8 grayscale, H divisible by
+    n_shards·2^levels (use the padded wrapper geometry otherwise).
+    Returns (hue [..., cells] u8, rgb_hue [..., cells] f32,
+    centroids [..., cells, 4] i32, mean_mag [...] f32), replicated on
+    every shard. Stage layout:
+
+      flow        — row-sharded (parallel/spatial.py halo machinery; the
+                    ~all of the FLOPs),
+      normalize   — per-frame global min-max via pmin/pmax collectives,
+                    applied shard-locally (render_flow_hsv_bgr_given_range),
+      grid/hue    — one uint8 all_gather of the rendered frame, then the
+                    exact unsharded feature ops.
+
+    Feature tables are BITWISE equal to the unsharded pipeline under
+    op-by-op execution (the flow decomposition is exact and min/max are
+    associative; tests/test_spatial_tp.py::test_spatial_hue_pipeline_*);
+    under whole-program jit the uint8 quantization absorbs the ≤5e-5 px
+    fusion noise (equality asserted at the test geometry). mean_mag sums
+    shard-locally then psums (~1-ulp vs the unsharded mean, same
+    contract as parallel/temporal.py)."""
+    from opticalflowclustering_tpu.features.grid import GridParams
+
+    if grid is None:
+        grid = GridParams()
+    n_dev = mesh.shape[axis_name]
+    h, w = prev_img.shape[-2], prev_img.shape[-1]
+    if h % (n_dev * 2**params.levels):
+        raise ValueError(
+            f"H={h} must divide by n_shards*2^levels={n_dev * 2**params.levels}"
+        )
+    return _spatial_hue_fn(
+        mesh, axis_name, grid, params, rb_swap, prev_img.ndim, h, w
+    )(prev_img, next_img)

@@ -182,3 +182,78 @@ def test_spatial_tp_720p_flagship_geometry():
     )[:720]
     d = np.abs(out - ref).max()
     assert d <= FUSION_TOL, f"max abs diff {d}"
+
+
+def _unsharded_hue_oracle(prev, nxt, grid, params, rb_swap=True):
+    from opticalflowclustering_tpu.features.dominant_color import (
+        dominant_hue_k1_frames,
+    )
+    from opticalflowclustering_tpu.features.grid import grid_mean_hue
+    from opticalflowclustering_tpu.flow.render import render_flow_hsv_bgr
+    from opticalflowclustering_tpu.ops.polar import magnitude
+
+    flow = farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), params)
+    bgr = render_flow_hsv_bgr(flow)
+    centroids, hue = dominant_hue_k1_frames(bgr, grid, rb_swap=rb_swap)
+    rgb_hue = grid_mean_hue(bgr, grid)
+    mean_mag = jnp.mean(magnitude(flow[..., 0], flow[..., 1]))
+    return hue, rgb_hue, centroids, mean_mag
+
+
+def test_spatial_hue_pipeline_bitwise_eager():
+    """VERDICT r4 #7: the END-TO-END spatial-TP hue pipeline (flow
+    row-sharded -> per-frame min-max via pmin/pmax collectives ->
+    shard-local render -> one uint8 all_gather -> grid features) is
+    BITWISE equal to the unsharded flagship feature path under op-by-op
+    execution: the flow decomposition is exact, min/max reductions are
+    exactly associative, and the post-gather ops are the same code."""
+    from opticalflowclustering_tpu.features.grid import GridParams
+    from opticalflowclustering_tpu.parallel.spatial import (
+        spatial_hue_pipeline,
+    )
+
+    prev, nxt = _moving_pair(256, 96, dy=2, dx=1, seed=4)
+    params = FarnebackParams(warp_mode="exact", levels=2)
+    grid = GridParams(rows=4, cols=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    with jax.disable_jit():
+        want = [
+            np.asarray(t)
+            for t in _unsharded_hue_oracle(prev, nxt, grid, params)
+        ]
+        got = [
+            np.asarray(t)
+            for t in spatial_hue_pipeline(
+                jnp.asarray(prev), jnp.asarray(nxt), mesh, "tp", grid, params
+            )
+        ]
+    for name, a, b in zip(("hue", "rgb_hue", "centroids"), got, want):
+        assert np.array_equal(a, b), (name, a, b)
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-6)  # mean_mag
+
+
+def test_spatial_hue_pipeline_jitted():
+    """Production jitted path: the uint8 quantization of hue/value absorbs
+    whole-program fusion noise, so the integer feature tables match the
+    unsharded pipeline exactly at the test geometry; mean_mag to ~1 ulp."""
+    from opticalflowclustering_tpu.features.grid import GridParams
+    from opticalflowclustering_tpu.parallel.spatial import (
+        spatial_hue_pipeline,
+    )
+
+    prev, nxt = _moving_pair(256, 96, dy=2, dx=1, seed=5)
+    params = FarnebackParams(warp_mode="exact", levels=2)
+    grid = GridParams(rows=4, cols=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    want = [
+        np.asarray(t) for t in _unsharded_hue_oracle(prev, nxt, grid, params)
+    ]
+    got = [
+        np.asarray(t)
+        for t in spatial_hue_pipeline(
+            jnp.asarray(prev), jnp.asarray(nxt), mesh, "tp", grid, params
+        )
+    ]
+    for name, a, b in zip(("hue", "rgb_hue", "centroids"), got, want):
+        assert np.array_equal(a, b), (name, a, b)
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-5)
