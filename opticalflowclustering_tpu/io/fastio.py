@@ -87,6 +87,16 @@ def available() -> bool:
 
 
 def _threads() -> int:
+    """Decode fan-out width: every frame of a window is independently
+    decodable (the RIFF seek index), so both the batch and streaming MJPEG
+    paths hand the whole window to native/fastio.cpp's parallel_for over
+    frames. On an M-core host one process therefore sustains
+    ~M × decode_fps_1core (the bench's decode roofline projection) — on
+    this 1-core dev box the pool degenerates to serial, which is a host
+    property, not a code path. Override with OFC_IO_THREADS."""
+    env = os.environ.get("OFC_IO_THREADS")
+    if env:
+        return max(int(env), 1)
     return max(os.cpu_count() or 1, 1)
 
 
@@ -111,9 +121,17 @@ def decode_png_batch(paths: list[str], h: int, w: int) -> np.ndarray:
     return out
 
 
-def decode_mjpeg_avi(path: str, max_frames: int | None = None) -> np.ndarray:
+def decode_mjpeg_avi(
+    path: str, max_frames: int | None = None, threads: int | None = None
+) -> np.ndarray:
     """Demux + decode an MJPG AVI (the framework's own writer format,
-    io/video.py write_video_mjpg) → [N, H, W, 3] uint8 BGR."""
+    io/video.py write_video_mjpg) → [N, H, W, 3] uint8 BGR.
+
+    Frames decode ACROSS the native thread pool (each writes its own
+    [h, w, 3] slice of the batch buffer — disjoint, so the fan-out is
+    race-free and the output is bit-identical at any `threads`;
+    tests/test_native_fastio.py pins 1 vs 8). `threads` defaults to
+    _threads() (host cores / OFC_IO_THREADS)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native fastio unavailable")
@@ -128,7 +146,8 @@ def decode_mjpeg_avi(path: str, max_frames: int | None = None) -> np.ndarray:
     out = np.empty((count, h.value, w.value, 3), np.uint8)
     got = lib.ofc_mjpeg_avi_decode(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        count, h.value, w.value, _threads(),
+        count, h.value, w.value,
+        _threads() if threads is None else max(threads, 1),
     )
     if got < 0:
         raise ValueError(f"mjpeg decode failed (rc={got}): {path}")

@@ -245,3 +245,40 @@ def test_stream_decode_failure_stalls_at_bad_frame(tmp_path):
     delivered = np.concatenate(got) if got else np.empty((0,) + want.shape[1:])
     assert delivered.shape[0] <= 7  # nothing at/after the bad frame
     assert np.array_equal(delivered, want[: delivered.shape[0]])
+
+
+def test_mjpeg_window_decode_threaded_bit_identical(tmp_path):
+    """VERDICT r4 #8: window frames decode ACROSS the native thread pool
+    (native/fastio.cpp parallel_for over frames — each frame writes its
+    own disjoint [h,w,3] slice), and the output is BIT-IDENTICAL at any
+    thread count, so the cores × decode_fps_1core roofline is realizable
+    by one process on production hosts. Pinned: threads=1 vs threads=8
+    byte-equal, both matching the streaming path."""
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    127.5 + 100 * np.sin(yy / 7 + i),
+                    127.5 + 100 * np.sin(xx / 9 + i / 2),
+                    rng.uniform(100, 150, yy.shape),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(24)
+        ]
+    )
+    path = str(tmp_path / "tclip.avi")
+    write_video_mjpg(path, frames, 30.0)
+
+    serial = fastio.decode_mjpeg_avi(path, threads=1)
+    pooled = fastio.decode_mjpeg_avi(path, threads=8)
+    assert serial.shape == (24, 48, 64, 3)
+    assert np.array_equal(serial, pooled)
+
+    # the streaming path (same native decode, done-flag windows) agrees
+    chunks = [
+        c for c, _ in fastio.stream_mjpeg_avi(path, chunk=6, overlap=0)
+    ]
+    assert np.array_equal(np.concatenate(chunks)[:24], serial)
