@@ -92,3 +92,36 @@ def test_searchengine_cli(tmp_path):
              "-k", "2", cwd=tmp_path)
     top = r.stdout.strip().splitlines()[0]
     assert "p1.png" in top
+
+
+CIRCLES_DIR = "/root/reference/detect-circles/images"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(CIRCLES_DIR), reason="reference data unavailable"
+)
+def test_detectcircles_cli_both_modes(tmp_path):
+    """cli/detectcircles.py mirrors the reference demo
+    (`detect-circles/detect_circles.py`): detects on the committed demo
+    image, prints the circles, and writes the [input | annotated] hstack
+    the reference imshows. cv2-raw mode reports cv2's exact circle count
+    on soda.png (4); coherent mode reports 0 there (artifact rejection)
+    and cv2's exact 7 on 8circles.png."""
+    out = str(tmp_path / "anno.png")
+    r = _run("detectcircles", "-i", f"{CIRCLES_DIR}/8circles.png",
+             "-o", out, cwd=tmp_path)
+    assert "7 circle(s)" in r.stdout, r.stdout
+    img = cv2.imread(out)
+    src = cv2.imread(f"{CIRCLES_DIR}/8circles.png")
+    assert img.shape == (src.shape[0], src.shape[1] * 2, 3)
+    # left half is the untouched input; right half is annotated
+    assert np.array_equal(img[:, : src.shape[1]], src)
+    assert not np.array_equal(img[:, src.shape[1] :], src)
+
+    r = _run("detectcircles", "-i", f"{CIRCLES_DIR}/soda.png",
+             "--mode", "cv2-raw", "-o", str(tmp_path / "s.png"),
+             cwd=tmp_path)
+    assert "4 circle(s) [cv2-raw]" in r.stdout, r.stdout
+    r = _run("detectcircles", "-i", f"{CIRCLES_DIR}/soda.png",
+             "-o", str(tmp_path / "s2.png"), cwd=tmp_path)
+    assert "0 circle(s) [coherent]" in r.stdout, r.stdout

@@ -503,3 +503,23 @@ def test_search_engine_index_cpickle_parity():
         np.testing.assert_allclose(
             [d for d, _ in got], [d for d, _ in want], rtol=1e-4
         )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(CIRCLES), reason="reference data unavailable"
+)
+def test_hough_raw_mode_exact_at_nondefault_threshold():
+    """Raw-mode exactness is not tuned to the demo defaults: at
+    param2=80 (6 circles on soda.png — a different pass/fail set and a
+    different dedup sequence) the output still matches cv2.HoughCircles
+    exactly."""
+    from opticalflowclustering_tpu.ops.hough import hough_circles
+
+    gray = cv2.cvtColor(
+        cv2.imread(f"{CIRCLES}/soda.png"), cv2.COLOR_BGR2GRAY
+    )
+    ref = cv2.HoughCircles(gray, cv2.HOUGH_GRADIENT, 1.2, 75, param2=80)
+    want = ref[0]
+    got = hough_circles(gray, acc_threshold=80.0, coherence_gate=False)
+    assert got.shape == want.shape, (got, want)
+    np.testing.assert_allclose(got, want, atol=1e-3)
