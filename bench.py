@@ -84,7 +84,11 @@ def real_footage_frames(n=N, h=H, w=W):
     import cv2
 
     fs = sorted(glob.glob(f"{REF}/images/601_3_cropped_3_OF/*.png"))
+    if not fs:
+        return None  # partial checkout — caller skips the datapoint
     imgs = [cv2.imread(fs[i % len(fs)]) for i in range(n)]
+    if any(f is None for f in imgs):
+        return None  # unreadable/corrupt PNG — skip rather than die mid-bench
     ty = -(-h // imgs[0].shape[0])
     tx = -(-w // imgs[0].shape[1])
     return np.stack([np.tile(f, (ty, tx, 1))[:h, :w] for f in imgs])
@@ -459,8 +463,9 @@ def main():
         file=sys.stderr,
     )
     real_fps = None
-    if os.path.isdir(REF):
-        real_fps = bench_tpu(real_footage_frames(n=N, h=H, w=W), repeats=2)
+    real_frames = real_footage_frames(n=N, h=H, w=W) if os.path.isdir(REF) else None
+    if real_frames is not None:
+        real_fps = bench_tpu(real_frames, repeats=2)
         print(
             f"tpu pipeline on real-footage motion statistics "
             f"(601_3_cropped_3_OF tiled to {args.res}): {real_fps:.1f} fps",

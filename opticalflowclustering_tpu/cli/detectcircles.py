@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--min-dist", type=float, default=75.0)
     ap.add_argument("--param1", type=float, default=100.0)
     ap.add_argument("--param2", type=float, default=100.0)
+    ap.add_argument(
+        "--max-circles",
+        type=int,
+        default=16,
+        help="size of the fixed device output buffer (jittable core); "
+        "cv2.HoughCircles has no such bound — raise this on circle-rich "
+        "images (a warning is printed when the buffer fills)",
+    )
     return ap
 
 
@@ -62,8 +70,14 @@ def main(argv: list[str] | None = None) -> int:
         min_dist=args.min_dist,
         canny_high=args.param1,
         acc_threshold=args.param2,
+        max_circles=args.max_circles,
         coherence_gate=args.mode == "coherent",
     )
+    if len(circles) == args.max_circles:
+        print(
+            f"warning: output buffer full ({args.max_circles}); more "
+            f"circles may exist — re-run with a larger --max-circles",
+        )
     for x, y, r in np.round(circles).astype(int):
         cv2.circle(output, (x, y), r, (0, 255, 0), 4)
         cv2.rectangle(

@@ -16,14 +16,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from opticalflowclustering_tpu.ops.colorspace import hsv2bgr
-from opticalflowclustering_tpu.ops.polar import cart_to_polar, normalize_minmax
+from opticalflowclustering_tpu.ops.polar import (
+    cart_to_polar,
+    normalize_minmax,
+    normalize_minmax_given_range,
+)
+
+
+def _flow_hue_u8(ang: jnp.ndarray) -> jnp.ndarray:
+    """hue = angle_rad * 180/π / 2, C-cast to uint8 (truncation toward 0)."""
+    return (ang * jnp.float32(180.0 / 3.141592653589793 / 2.0)).astype(
+        jnp.uint8
+    )
 
 
 def render_flow_hsv(flow: jnp.ndarray) -> jnp.ndarray:
     """[..., H, W, 2] float flow → [..., H, W, 3] uint8 HSV image."""
     mag, ang = cart_to_polar(flow[..., 0], flow[..., 1])
-    # hue = angle_rad * 180/π / 2, C-cast to uint8 (truncation toward zero).
-    hue = (ang * jnp.float32(180.0 / 3.141592653589793 / 2.0)).astype(jnp.uint8)
+    hue = _flow_hue_u8(ang)
     val = normalize_minmax(mag, 0.0, 255.0, axis=(-2, -1)).astype(jnp.uint8)
     sat = jnp.full_like(hue, 255)
     return jnp.stack([hue, sat, val], axis=-1)
@@ -44,19 +54,14 @@ def render_flow_hsv_bgr_given_range(
     The row-sharded pipeline (parallel/spatial.py spatial_hue_pipeline)
     computes the frame's global min/max with pmin/pmax collectives —
     min/max reductions are exactly associative, so the values are bitwise
-    equal to the unsharded reduction — and must then apply the SAME op
-    chain normalize_minmax applies (scale/shift multiply-add order
-    preserved) for the rendered bytes to match bit-for-bit."""
-    from opticalflowclustering_tpu.ops.polar import _DBL_EPSILON
-
-    f32 = jnp.float32
+    equal to the unsharded reduction — and this path shares the normalize
+    chain (ops/polar.py normalize_minmax_given_range) and hue cast with
+    render_flow_hsv, so the rendered bytes match bit-for-bit by
+    construction, not by a hand-synchronized copy."""
     mag, ang = cart_to_polar(flow[..., 0], flow[..., 1])
-    hue = (ang * jnp.float32(180.0 / 3.141592653589793 / 2.0)).astype(jnp.uint8)
-    delta = smax - smin
-    scale = jnp.where(
-        delta > f32(_DBL_EPSILON), (f32(255.0) - f32(0.0)) / delta, f32(0.0)
+    hue = _flow_hue_u8(ang)
+    val = normalize_minmax_given_range(mag, smin, smax, 0.0, 255.0).astype(
+        jnp.uint8
     )
-    shift = f32(0.0) - smin * scale
-    val = (mag * scale + shift).astype(jnp.uint8)
     sat = jnp.full_like(hue, 255)
     return hsv2bgr(jnp.stack([hue, sat, val], axis=-1))

@@ -80,10 +80,28 @@ def normalize_minmax(
     reference normalizes each frame's magnitude independently
     (`computeOpticalFlowModule.py:31`).
     """
-    f32 = jnp.float32
-    x = x.astype(f32)
+    x = x.astype(jnp.float32)
     smin = jnp.min(x, axis=axis, keepdims=axis is not None)
     smax = jnp.max(x, axis=axis, keepdims=axis is not None)
+    return normalize_minmax_given_range(x, smin, smax, alpha, beta)
+
+
+def normalize_minmax_given_range(
+    x: jnp.ndarray,
+    smin: jnp.ndarray,
+    smax: jnp.ndarray,
+    alpha: float = 0.0,
+    beta: float = 255.0,
+) -> jnp.ndarray:
+    """The scale/shift chain of `normalize_minmax` with an externally
+    supplied source range (smin/smax broadcastable to x). The row-sharded
+    pipeline (parallel/spatial.py) computes the frame's global min/max with
+    pmin/pmax collectives — exactly associative, so bitwise equal to the
+    unsharded reduction — then applies THIS one shared chain shard-locally;
+    sharing the implementation (not a copy) is what keeps its rendered
+    bytes bit-for-bit equal to the unsharded path's."""
+    f32 = jnp.float32
+    x = x.astype(f32)
     dmin, dmax = f32(min(alpha, beta)), f32(max(alpha, beta))
     delta = smax - smin
     scale = jnp.where(delta > f32(_DBL_EPSILON), (dmax - dmin) / delta, f32(0.0))

@@ -672,6 +672,16 @@ def spatial_hue_pipeline(
         raise ValueError(
             f"H={h} must divide by n_shards*2^levels={n_dev * 2**params.levels}"
         )
+    # Same shard-vs-halo invariant as spatial_farneback_flow: an
+    # undersized shard would otherwise fail deep inside shard_map tracing
+    # with an opaque negative-start lax.slice error.
+    margins = _level_margins(params)
+    max_full = max(margins[k][2] for k, *_ in pyramid_plan(h, w, params))
+    if h // n_dev <= max_full:
+        raise ValueError(
+            f"shard of {h // n_dev} rows too small for the {max_full}-row "
+            f"halo (use fewer shards or a smaller warp_radius)"
+        )
     return _spatial_hue_fn(
         mesh, axis_name, grid, params, rb_swap, prev_img.ndim, h, w
     )(prev_img, next_img)

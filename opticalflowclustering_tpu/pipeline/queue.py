@@ -24,8 +24,12 @@ log = get_logger("ofc_tpu.queue")
 _SAVED_KEYS = ("hue_table", "rgb_hue_table", "centroids", "mean_magnitude")
 
 #: Observability/test hook: filled in by the last `process_video_queue_dp`
-#: call with {"peak_buffered_videos", "batches", "evictions"} so tests can
-#: assert the streaming-memory bound without instrumenting internals.
+#: call with {"peak_buffered_videos", "batches", "evictions",
+#: "batch_failures"} so tests can assert the streaming-memory bound without
+#: instrumenting internals. "batches" counts SUCCESSFUL mesh dispatches only
+#: (failed dispatches land in "batch_failures" and fall back to the
+#: sequential path) — the multi-host test's proof-of-dispatch relies on
+#: that distinction.
 LAST_DP_STATS: dict[str, int] = {}
 
 
