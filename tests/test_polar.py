@@ -60,3 +60,51 @@ def test_normalize_minmax_batched_axis():
     for i in range(5):
         want = cv2.normalize(m[i], None, 0, 255, cv2.NORM_MINMAX)
         np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-3)
+
+
+def test_normalize_given_range_is_the_shared_chain():
+    """`normalize_minmax_given_range` fed the TRUE min/max must be BITWISE
+    equal to `normalize_minmax` — this is the contract that lets the
+    row-sharded pipeline (parallel/spatial.py) compute the range with
+    pmin/pmax collectives and apply the chain shard-locally. Includes the
+    delta=0 constant-input branch."""
+    import jax.numpy as jnp
+
+    from opticalflowclustering_tpu.ops.polar import (
+        normalize_minmax_given_range,
+    )
+
+    m = np.abs(RNG.normal(0, 2, size=(120, 160))).astype(np.float32)
+    for x in (m, np.full((8, 8), 3.5, np.float32)):
+        full = np.asarray(normalize_minmax(x))
+        smin, smax = jnp.float32(x.min()), jnp.float32(x.max())
+        given = np.asarray(normalize_minmax_given_range(x, smin, smax))
+        np.testing.assert_array_equal(given, full)
+
+
+def test_render_given_range_matches_full_path_bitwise():
+    """`render_flow_hsv_bgr_given_range` fed each frame's true magnitude
+    range must render the SAME BYTES as hsv2bgr(render_flow_hsv(flow)) —
+    by construction (shared hue cast + normalize chain), incl. a
+    constant-flow frame (delta=0 normalize branch)."""
+    import jax.numpy as jnp
+
+    from opticalflowclustering_tpu.flow.render import (
+        render_flow_hsv,
+        render_flow_hsv_bgr_given_range,
+    )
+    from opticalflowclustering_tpu.ops.colorspace import hsv2bgr
+
+    flow = RNG.normal(0, 4, size=(3, 48, 64, 2)).astype(np.float32)
+    flow[2] = 1.25  # constant flow -> zero-range magnitude
+    mag = np.hypot(flow[..., 0], flow[..., 1]).astype(np.float32)
+    want = np.asarray(hsv2bgr(render_flow_hsv(jnp.asarray(flow))))
+    for i in range(flow.shape[0]):
+        got = np.asarray(
+            render_flow_hsv_bgr_given_range(
+                jnp.asarray(flow[i]),
+                jnp.float32(mag[i].min()),
+                jnp.float32(mag[i].max()),
+            )
+        )
+        np.testing.assert_array_equal(got, want[i])
