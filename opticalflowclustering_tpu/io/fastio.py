@@ -130,7 +130,7 @@ def decode_mjpeg_avi(
     Frames decode ACROSS the native thread pool (each writes its own
     [h, w, 3] slice of the batch buffer — disjoint, so the fan-out is
     race-free and the output is bit-identical at any `threads`;
-    tests/test_native_fastio.py pins 1 vs 8). `threads` defaults to
+    tests/test_fastio.py pins 1 vs 8). `threads` defaults to
     _threads() (host cores / OFC_IO_THREADS)."""
     lib = _load()
     if lib is None:
