@@ -108,3 +108,78 @@ def test_fused_train_step_runs_and_learns():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+# --- multihost helpers: fast single-process unit coverage (the composed
+# 2-process behavior runs in tests/test_multihost.py, marked slow) ---
+
+
+def test_host_shard_explicit_args():
+    from opticalflowclustering_tpu.parallel.multihost import host_shard
+
+    items = ["a", "b", "c", "d", "e"]
+    assert host_shard(items, process_id=0, num_processes=2) == ["a", "c", "e"]
+    assert host_shard(items, process_id=1, num_processes=2) == ["b", "d"]
+    # all shards partition the list exactly once
+    n = 3
+    shards = [host_shard(items, i, n) for i in range(n)]
+    flat = [x for s in shards for x in s]
+    assert sorted(flat) == sorted(items)
+    # single process owns everything
+    assert host_shard(items, 0, 1) == items
+
+
+def test_global_mesh_and_local_submesh_single_process():
+    from opticalflowclustering_tpu.parallel.multihost import (
+        global_mesh,
+        local_submesh,
+    )
+
+    mesh = global_mesh(sp=2)  # 8 CPU devices -> dp=4, sp=2
+    assert mesh.shape == {"dp": 4, "sp": 2}
+    # single-process: every dp row is local, so the submesh is the mesh
+    sub = local_submesh(mesh)
+    assert sub.shape == mesh.shape
+    assert np.array_equal(
+        np.vectorize(id)(sub.devices), np.vectorize(id)(mesh.devices)
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        global_mesh(sp=3)
+
+
+def test_initialize_env_fallbacks(monkeypatch):
+    """initialize() forwards explicit args and falls back to the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    (docs/ARCHITECTURE.md recipe) without touching a real cluster."""
+    from opticalflowclustering_tpu.parallel import multihost
+
+    seen = {}
+    monkeypatch.setattr(
+        multihost.jax.distributed,
+        "initialize",
+        lambda **kw: seen.update(kw),
+    )
+    multihost.initialize("host:1234", num_processes=2, process_id=1)
+    assert seen == {
+        "coordinator_address": "host:1234",
+        "num_processes": 2,
+        "process_id": 1,
+    }
+
+    seen.clear()
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "envhost:9")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    multihost.initialize()
+    assert seen == {
+        "coordinator_address": "envhost:9",
+        "num_processes": 4,
+        "process_id": 3,
+    }
+
+    seen.clear()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    multihost.initialize()  # TPU-pod style: everything auto-discovered
+    assert seen == {}
