@@ -145,11 +145,40 @@ class TestNms:
             idxs = np.delete(idxs, suppress)
         return boxes[pick]
 
+    # the other two demo box sets shipped by the reference driver
+    # (non-max-suppression-slow/nms_slow.py:14-22); audrey's is BOXES above
+    BKSOMELS = np.array(
+        [[114, 60, 178, 124], [120, 60, 184, 124], [114, 66, 178, 130]]
+    )
+    GPRIPE = np.array(
+        [
+            [12, 30, 76, 94],
+            [12, 36, 76, 100],
+            [72, 36, 200, 164],
+            [84, 48, 212, 176],
+        ]
+    )
+
     def test_host_matches_reference(self):
         for t in (0.3, 0.5):
             want = np.asarray(self._oracle(self.BOXES, t))
             got = np.asarray(non_max_suppression(self.BOXES, t))
             np.testing.assert_array_equal(np.sort(got, 0), np.sort(want, 0))
+
+    def test_demo_box_sets_at_demo_threshold(self):
+        """All three nms_slow.py demo inputs at its threshold 0.3
+        (nms_slow.py:5-22,32): each collapses to exactly one box — the
+        demo's printed 'after applying non-max, 1 bounding boxes'."""
+        for boxes in (self.BOXES, self.BKSOMELS, self.GPRIPE[:2]):
+            got = np.asarray(non_max_suppression(boxes, 0.3))
+            want = np.asarray(self._oracle(boxes, 0.3))
+            np.testing.assert_array_equal(got, want)
+            assert len(got) == 1
+        # gpripe's full set keeps one box per object cluster
+        got = np.asarray(non_max_suppression(self.GPRIPE, 0.3))
+        want = np.asarray(self._oracle(self.GPRIPE, 0.3))
+        np.testing.assert_array_equal(np.sort(got, 0), np.sort(want, 0))
+        assert len(got) == 2
 
     def test_device_matches_host(self):
         for t in (0.3, 0.5):
