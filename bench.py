@@ -86,12 +86,15 @@ def real_footage_frames(n=N, h=H, w=W):
     fs = sorted(glob.glob(f"{REF}/images/601_3_cropped_3_OF/*.png"))
     if not fs:
         return None  # partial checkout — caller skips the datapoint
-    imgs = [cv2.imread(fs[i % len(fs)]) for i in range(n)]
-    if any(f is None for f in imgs):
+    # Decode (and tile) each unique file once; frames beyond the footage
+    # length reuse the tiled arrays instead of re-reading the PNGs.
+    uniq = [cv2.imread(f) for f in fs[: min(n, len(fs))]]
+    if any(f is None for f in uniq):
         return None  # unreadable/corrupt PNG — skip rather than die mid-bench
-    ty = -(-h // imgs[0].shape[0])
-    tx = -(-w // imgs[0].shape[1])
-    return np.stack([np.tile(f, (ty, tx, 1))[:h, :w] for f in imgs])
+    ty = -(-h // uniq[0].shape[0])
+    tx = -(-w // uniq[0].shape[1])
+    tiled = [np.tile(f, (ty, tx, 1))[:h, :w] for f in uniq]
+    return np.stack([tiled[i % len(tiled)] for i in range(n)])
 
 
 WARP_MODE = "fast16"

@@ -161,8 +161,9 @@ def minibatch_kmeans(
     sklearn's per-center learning rate 1/count.
 
     Starved-center reassignment (VERDICT r4 #5) follows sklearn's default
-    semantics: every 10·k processed samples (`MiniBatchKMeans.
-    _random_reassign`), centers whose weight is below
+    semantics: every 10·k processed samples — or immediately while any
+    center has never been assigned (`MiniBatchKMeans._random_reassign`'s
+    empty-cluster arm) — centers whose weight is below
     ``reassignment_ratio · max(weight)`` — at most ⌊batch/2⌋ of them,
     lowest weights first — are re-seeded at uniformly drawn minibatch
     points, and their weights reset to the minimum weight among the
@@ -212,7 +213,14 @@ def minibatch_kmeans(
 
         since = since + batch_size
         if reassignment_ratio > 0:
-            gate = since >= 10 * k
+            # sklearn's `_random_reassign` gate, exactly: fire every 10·k
+            # processed samples OR whenever any center has never been
+            # assigned (its gate reads `self._counts` BEFORE this step's
+            # update — the pre-step `wsum` here), resetting the counter
+            # either way. Without the empty-cluster arm, dead centers
+            # persist up to 10·k/batch extra steps whenever 10·k >
+            # batch_size (review finding, round 5).
+            gate = jnp.any(wsum == 0) | (since >= 10 * k)
             since = jnp.where(gate, 0, since)
             starved = new_w < jnp.float32(reassignment_ratio) * jnp.max(
                 new_w

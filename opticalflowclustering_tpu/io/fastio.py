@@ -96,7 +96,17 @@ def _threads() -> int:
     property, not a code path. Override with OFC_IO_THREADS."""
     env = os.environ.get("OFC_IO_THREADS")
     if env:
-        return max(int(env), 1)
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"OFC_IO_THREADS={env!r} is not an integer; falling back "
+                "to os.cpu_count()",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return max(os.cpu_count() or 1, 1)
 
 

@@ -84,7 +84,10 @@ def canny(
       Sobel border, NOT cv2.Sobel's reflect-101 default (the mismatch
       shows up as phantom/missing edges exactly on image border rows);
     * INTEGER L1 magnitude (|gx|+|gy| on the int16 Sobel values) with
-      integer thresholds, or int64 squared magnitude for l2gradient;
+      integer thresholds, or int32 squared magnitude for l2gradient
+      (exact: values and squared thresholds both fit below 2^31), with
+      cv2's threshold conversion order (square-the-double-then-floor,
+      negatives never squared);
     * cv2's fixed-point sector NMS: |gy|·2^15 compared against
       |gx|·TG22 (TG22 = 13573 ≈ tan22.5°·2^15) and |gx|·TG22 + |gx|·2^16
       (tan67.5° = tan22.5° + 2), sign via the int XOR of gx, gy, with
@@ -94,18 +97,28 @@ def canny(
       the weak mask (a bounded `lax.while_loop` — the TPU formulation of
       OpenCV's BFS stack), zero magnitude outside the image.
     """
+    import math
+
     i32 = jnp.int32
+    # cv2's exact threshold conversion order: swap so low <= high, then for
+    # L2 clip each to 2^15-1 and square ONLY positive values (a negative
+    # threshold stays as-is), then cvFloor to int — squaring the double
+    # BEFORE flooring (floor(50.5^2)=2550, not int(50.5)^2=2500).
     lo_f, hi_f = min(threshold1, threshold2), max(threshold1, threshold2)
     if l2gradient:
-        # cv2: thresholds clipped to 2^15-1 then squared (int64 compare).
-        low = int(min(32767.0, lo_f)) ** 2
-        high = int(min(32767.0, hi_f)) ** 2
-    else:
-        low, high = int(lo_f), int(hi_f)
+        lo_f = min(32767.0, lo_f)
+        hi_f = min(32767.0, hi_f)
+        if lo_f > 0:
+            lo_f *= lo_f
+        if hi_f > 0:
+            hi_f *= hi_f
+    low, high = math.floor(lo_f), math.floor(hi_f)
     gx = sobel(img, 1, 0, 3, border="replicate").astype(i32)
     gy = sobel(img, 0, 1, 3, border="replicate").astype(i32)
     if l2gradient:
-        mag = (gx.astype(jnp.int64) * gx + gy.astype(jnp.int64) * gy)
+        # int32 is exact here: |g| <= 4*255 for uint8 input, so the squared
+        # magnitude <= ~2.1e6 and the squared thresholds <= 32767^2 < 2^31.
+        mag = gx * gx + gy * gy
     else:
         mag = jnp.abs(gx) + jnp.abs(gy)
 

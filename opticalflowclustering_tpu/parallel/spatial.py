@@ -333,23 +333,33 @@ def spatial_farneback_flow(
     Returns [..., H, W, 2] flow, row-sharded, equal to the unsharded
     exact-mode flow within the reach contract (module docstring: bitwise
     op-by-op; ≤5e-5 px under whole-program jit fusion)."""
-    n_dev = mesh.shape[axis_name]
     h, w = prev_img.shape[-2], prev_img.shape[-1]
+    _check_shard_geometry(h, w, mesh.shape[axis_name], params)
+    return _spatial_farneback_fn(mesh, axis_name, params, prev_img.ndim, h, w)(
+        prev_img, next_img
+    )
+
+
+def _check_shard_geometry(
+    h: int, w: int, n_dev: int, params: FarnebackParams
+) -> None:
+    """Shared entry-point validation (spatial_farneback_flow AND
+    spatial_hue_pipeline): the row count must split evenly across shards
+    at every pyramid level, and a shard must be taller than the largest
+    full-resolution halo — an undersized shard would otherwise fail deep
+    inside shard_map tracing with an opaque negative-start lax.slice
+    error."""
     if h % (n_dev * 2**params.levels):
         raise ValueError(
             f"H={h} must divide by n_shards*2^levels={n_dev * 2**params.levels}"
         )
-    plan = pyramid_plan(h, w, params)
     margins = _level_margins(params)
-    max_full = max(margins[k][2] for k, *_ in plan)
+    max_full = max(margins[k][2] for k, *_ in pyramid_plan(h, w, params))
     if h // n_dev <= max_full:
         raise ValueError(
             f"shard of {h // n_dev} rows too small for the {max_full}-row "
             f"halo (use fewer shards or a smaller warp_radius)"
         )
-    return _spatial_farneback_fn(mesh, axis_name, params, prev_img.ndim, h, w)(
-        prev_img, next_img
-    )
 
 
 def _build_shard_flow(
@@ -666,22 +676,8 @@ def spatial_hue_pipeline(
 
     if grid is None:
         grid = GridParams()
-    n_dev = mesh.shape[axis_name]
     h, w = prev_img.shape[-2], prev_img.shape[-1]
-    if h % (n_dev * 2**params.levels):
-        raise ValueError(
-            f"H={h} must divide by n_shards*2^levels={n_dev * 2**params.levels}"
-        )
-    # Same shard-vs-halo invariant as spatial_farneback_flow: an
-    # undersized shard would otherwise fail deep inside shard_map tracing
-    # with an opaque negative-start lax.slice error.
-    margins = _level_margins(params)
-    max_full = max(margins[k][2] for k, *_ in pyramid_plan(h, w, params))
-    if h // n_dev <= max_full:
-        raise ValueError(
-            f"shard of {h // n_dev} rows too small for the {max_full}-row "
-            f"halo (use fewer shards or a smaller warp_radius)"
-        )
+    _check_shard_geometry(h, w, mesh.shape[axis_name], params)
     return _spatial_hue_fn(
         mesh, axis_name, grid, params, rb_swap, prev_img.ndim, h, w
     )(prev_img, next_img)

@@ -196,6 +196,30 @@ def test_minibatch_kmeans_sklearn_DEFAULT_config_on_real_pixels():
         assert d.min() < 35.0, (c, centers)
 
 
+def test_minibatch_reassigns_never_assigned_center_immediately():
+    """sklearn's `_random_reassign` fires whenever ANY center has never
+    been assigned, regardless of the every-10·k-samples counter (round-5
+    review finding): with k=8 and batch_size=4, the counter alone would
+    first fire at step 20 (10·k=80 samples), so a 5-step run discriminates
+    the two gates. A center initialized at a far outlier that can never
+    win an assignment must be reseeded onto the data within those steps."""
+    import jax
+
+    from opticalflowclustering_tpu.cluster.kmeans import minibatch_kmeans
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 1.0, size=(64, 2)).astype(np.float32)
+    init = pts[rng.choice(64, 8, replace=False)].copy()
+    init[5] = (1e6, 1e6)  # never nearest to any point
+    centers, _ = minibatch_kmeans(
+        pts, 8, jax.random.PRNGKey(0),
+        batch_size=4, n_steps=5, init=init,
+    )
+    d = np.linalg.norm(np.asarray(centers) - 1e6, axis=1)
+    assert d.min() > 1e5, "outlier center was never reassigned"
+    assert np.abs(np.asarray(centers)).max() < 10.0, centers
+
+
 def test_greedy_plusplus_separates_blobs_every_seed():
     """sklearn-style greedy k-means++ (n_local_trials candidates per
     center, VERDICT r3 weak #5): on a 2-blob set where one blob holds 90%

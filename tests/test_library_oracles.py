@@ -421,6 +421,30 @@ def test_canny_bit_exact_on_demo_images(name):
         ), (name, lo, hi)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(CIRCLES), reason="reference data unavailable"
+)
+def test_canny_threshold_conversion_matches_cv2():
+    """cv2's exact threshold-conversion order: for L2 the double is clipped
+    to 2^15-1, squared ONLY if positive, THEN floored (floor(50.5^2)=2550,
+    not int(50.5)^2=2500); negative thresholds are floored unsquared.
+    Pinned bit-exact on a demo image across fractional/negative/huge
+    thresholds in both gradient norms."""
+    from opticalflowclustering_tpu.ops.edges import canny
+
+    gray = cv2.cvtColor(
+        cv2.imread(f"{CIRCLES}/soda.png"), cv2.COLOR_BGR2GRAY
+    )
+    for lo, hi in (
+        (50.5, 100.7), (10.2, 30.9), (-10.0, 100.0), (200.9, 40000.0)
+    ):
+        for l2 in (False, True):
+            assert np.array_equal(
+                np.asarray(canny(gray, lo, hi, l2gradient=l2)),
+                cv2.Canny(gray, lo, hi, L2gradient=l2),
+            ), (lo, hi, l2)
+
+
 def test_hough_device_core_is_jittable():
     """The full detector (vote, NMS, radius) runs as one jitted program
     with fixed-size outputs (VERDICT r2 #6: no host vote loop)."""
